@@ -1,0 +1,76 @@
+"""Monte-Carlo ELBO estimation (Blundell et al. 2015, Bayes-by-Backprop).
+
+The reference repeats one sampling idiom in its README and every example
+(`README.md:58-72`, `examples/mlp_mnist.py:92-106`, `examples/bert_glue.py:
+56-73`): S sequential forward passes, average the per-sample logits and
+log-prob scalars, then
+
+    loss = (log_variational_posterior - log_prior) / n_batches + nll(sum)
+
+Here the S samples ride a vmapped axis (see BayesianModel.mc_apply) and the
+loss is a pure function. Unlike the reference — whose KL term is detached
+from autograd by `.data` writes (SURVEY.md Q1) — this ELBO is differentiable
+end-to-end, which is the algorithm as published.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+def elbo_loss(
+    nll: jax.Array,
+    log_prior: jax.Array,
+    log_variational_posterior: jax.Array,
+    n_batches: int,
+) -> jax.Array:
+    """``(mean_S(log_q) - mean_S(log_p)) / n_batches + nll``.
+
+    ``nll`` must already be sum-reduced over the batch (the reference uses
+    sum-reduction criteria, `examples/mlp_mnist.py:36`,
+    `examples/bert_glue.py:181`). ``log_prior`` / ``log_q`` may be scalars or
+    (S,) vectors of per-sample values; they are averaged over the sample axis.
+    """
+    return (
+        jnp.mean(log_variational_posterior) - jnp.mean(log_prior)
+    ) / n_batches + nll
+
+
+def mc_logits_mean(logits: jax.Array) -> jax.Array:
+    """Average predictions over the leading MC-sample axis.
+
+    The reference averages the raw (S, B, ...) logits buffer before the NLL
+    (`examples/mlp_mnist.py:104`, `examples/bert_glue.py:183`).
+    """
+    return jnp.mean(logits, axis=0)
+
+
+def nll_sum_from_log_probs(log_probs: jax.Array, labels: jax.Array) -> jax.Array:
+    """Sum-reduced NLL over log-probabilities (torch ``NLLLoss(sum)`` parity)."""
+    return -jnp.sum(jnp.take_along_axis(log_probs, labels[:, None], axis=-1))
+
+
+def cross_entropy_sum(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Sum-reduced softmax cross entropy (torch ``CrossEntropyLoss(sum)`` parity)."""
+    return nll_sum_from_log_probs(jax.nn.log_softmax(logits, axis=-1), labels)
+
+
+def accuracy_and_std(logits: jax.Array, labels: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(accuracy of the S-averaged prediction, std of per-sample accuracies).
+
+    ``acc_std`` across the S Monte-Carlo draws is the reference's
+    uncertainty proxy (`examples/bert_glue.py:185-186`).
+    """
+    mean_pred = jnp.argmax(mc_logits_mean(logits), axis=-1)
+    acc = jnp.mean((mean_pred == labels).astype(jnp.float32))
+    per_sample_acc = jnp.mean(
+        (jnp.argmax(logits, axis=-1) == labels[None, :]).astype(jnp.float32), axis=1
+    )
+    return acc, jnp.std(per_sample_acc)
+
+
+def aux_scalars(aux: dict[str, Any]) -> tuple[jax.Array, jax.Array]:
+    """Pull (log_prior, log_q) out of a BayesianModel aux dict."""
+    return aux["log_prior"], aux["log_variational_posterior"]

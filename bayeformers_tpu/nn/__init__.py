@@ -1,0 +1,11 @@
+from bayeformers_tpu.nn.surgery import (  # noqa: F401
+    BayesianModel,
+    BayesParams,
+    ConversionRule,
+    ConversionSpec,
+    DEFAULT_RULES,
+    EMBEDDING_RULE,
+    LINEAR_RULE,
+    find_convertible_paths,
+    to_bayesian,
+)

@@ -1,0 +1,22 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+This is the JAX-idiomatic "fake backend" (SURVEY.md §4): sharding and
+multi-chip behavior are exercised without TPU hardware by forcing the host
+platform to expose 8 devices. jax may already be imported at interpreter
+startup in this environment, so the platform is forced via jax.config (which
+works any time before first backend use), while XLA_FLAGS still must be set
+before backend initialization.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
