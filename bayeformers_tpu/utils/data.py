@@ -1,0 +1,96 @@
+"""Dataset loading with offline synthetic fallbacks.
+
+The reference pulls MNIST via torchvision and GLUE/SQuAD via HF downloads.
+This environment has zero network egress, so every workload accepts a local
+dataset directory and otherwise generates a deterministic synthetic stand-in
+with the same shapes/statistics, keeping the full pipeline runnable anywhere.
+"""
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# MNIST (idx format parser — replaces torchvision.datasets.MNIST)
+# ---------------------------------------------------------------------------
+
+def _read_idx(path: str) -> np.ndarray:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as fh:
+        zero, dtype_code, ndim = struct.unpack(">HBB", fh.read(4))
+        if zero != 0:
+            raise ValueError(f"{path}: not an idx file")
+        shape = struct.unpack(">" + "I" * ndim, fh.read(4 * ndim))
+        dtype = {0x08: np.uint8, 0x09: np.int8, 0x0B: np.int16,
+                 0x0C: np.int32, 0x0D: np.float32, 0x0E: np.float64}[dtype_code]
+        return np.frombuffer(fh.read(), dtype=dtype).reshape(shape)
+
+
+def _find_idx(root: str, stem: str) -> str | None:
+    for name in (stem, stem + ".gz", stem.replace("-idx", ".idx"),
+                 stem.replace("-idx", ".idx") + ".gz"):
+        path = os.path.join(root, name)
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def load_mnist(
+    root: str = "dataset/mnist", synthetic_ok: bool = True, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, bool]:
+    """Returns (x_train, y_train, x_test, y_test, is_synthetic).
+
+    Images are float32 in [0,1], flattened to 784; labels int32. Looks for
+    the standard idx files (optionally gzipped) under ``root``; if absent and
+    ``synthetic_ok``, generates class-structured synthetic digits (each class
+    = a fixed random 784-prototype + noise) so train/eval dynamics are
+    meaningful without the real data.
+    """
+    stems = {
+        "x_train": "train-images-idx3-ubyte",
+        "y_train": "train-labels-idx1-ubyte",
+        "x_test": "t10k-images-idx3-ubyte",
+        "y_test": "t10k-labels-idx1-ubyte",
+    }
+    paths = {k: _find_idx(root, stem) for k, stem in stems.items()}
+    if all(paths.values()):
+        x_train = _read_idx(paths["x_train"]).reshape(-1, 784).astype(np.float32) / 255.0
+        y_train = _read_idx(paths["y_train"]).astype(np.int32)
+        x_test = _read_idx(paths["x_test"]).reshape(-1, 784).astype(np.float32) / 255.0
+        y_test = _read_idx(paths["y_test"]).astype(np.int32)
+        return x_train, y_train, x_test, y_test, False
+    if not synthetic_ok:
+        raise FileNotFoundError(f"MNIST idx files not found under {root}")
+    rng = np.random.default_rng(seed)
+    prototypes = rng.uniform(0, 1, (10, 784)).astype(np.float32)
+    def make(n):
+        y = rng.integers(0, 10, n).astype(np.int32)
+        x = prototypes[y] * 0.6 + rng.uniform(0, 1, (n, 784)).astype(np.float32) * 0.4
+        return x.astype(np.float32), y
+    x_train, y_train = make(12_800)
+    x_test, y_test = make(2_560)
+    return x_train, y_train, x_test, y_test, True
+
+
+def batches(
+    x: np.ndarray, y: np.ndarray, batch_size: int, *, seed: int | None = None,
+    drop_remainder: bool = True,
+):
+    """Simple shuffled minibatch iterator (drop-remainder keeps shapes static
+    so jit never retraces on a ragged final batch)."""
+    n = len(x)
+    idx = np.arange(n)
+    if seed is not None:
+        np.random.default_rng(seed).shuffle(idx)
+    end = n - (n % batch_size) if drop_remainder else n
+    for start in range(0, end, batch_size):
+        sel = idx[start : start + batch_size]
+        yield x[sel], y[sel]
+
+
+def num_batches(n: int, batch_size: int, drop_remainder: bool = True) -> int:
+    return n // batch_size if drop_remainder else -(-n // batch_size)
