@@ -1,0 +1,211 @@
+"""Fused sampled matmul: ``y[s] = x[s] @ (mu + softplus(rho) * eps[s])``.
+
+The reference's hot loop samples a full weight matrix into memory and then
+matmuls it, once per layer per MC sample (`bayeformers/nn/layers/linear.py:
+97-104` via `gaussian.py:90-101`) — on TPU that is an HBM round-trip of the
+whole weight per forward. The Pallas kernel here generates eps *on-chip* per
+(BK, BN) weight tile (seeded deterministically, see ops/common.py), forms the
+sampled tile in VMEM, and feeds the MXU directly — sampled weights never
+touch HBM in the forward pass.
+
+Layout follows Flax ``nn.Dense``: ``mu, rho: (K, N)``; ``x: (S, M, K)`` with
+an explicit leading Monte-Carlo sample axis (the TPU-first replacement for
+the reference's sequential S-loop, SURVEY.md §3.2); ``seeds: (S,) int32``.
+
+Backward (custom VJP) regenerates the sampled weights once with the same
+deterministic eps stream, then uses dense XLA matmuls:
+
+    dx[s] = g[s] @ W[s]^T          dW[s] = x[s]^T @ g[s]
+    dmu   = sum_s dW[s]            drho  = sum_s (dW[s]*eps[s]) * sigmoid(rho)
+
+On non-TPU backends (CPU test mesh, multichip dry-run) the op dispatches to a
+numerically-equivalent jnp path whose eps comes from ``jax.random.normal``;
+within a backend all ops share one eps stream, so forward/log-prob/backward
+always see the same draw.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bayeformers_tpu.ops import common
+
+
+def use_pallas() -> bool:
+    if os.environ.get("BAYEFORMERS_FORCE_NAIVE") == "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Naive (reference-style) path: shared eps via jax.random
+# ---------------------------------------------------------------------------
+
+def naive_eps(seeds: jax.Array, shape: tuple[int, int]) -> jax.Array:
+    """(S, K, N) standard normals, deterministic per seed."""
+    def one(seed):
+        return jax.random.normal(jax.random.key(seed), shape, jnp.float32)
+    return jax.vmap(one)(seeds)
+
+
+def naive_weights(mu: jax.Array, rho: jax.Array, seeds: jax.Array) -> jax.Array:
+    eps = naive_eps(seeds, mu.shape)
+    return mu[None] + jax.nn.softplus(rho)[None] * eps
+
+
+def naive_sampled_dense(x, mu, rho, seeds):
+    w = naive_weights(mu, rho, seeds)
+    return jnp.einsum("smk,skn->smn", x, w)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused forward
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(bk: int, seed_ref, x_ref, mu_ref, rho_ref, o_ref, w_ref):
+    # x_ref: (1, bm, bk), mu/rho_ref: (bk, bn), o_ref: (1, bm, bn),
+    # w_ref scratch: (Kp, bn) — holds the sampled weight column for this j,
+    # regenerated once per (s, j) and reused across all batch tiles i.
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    kk = pl.program_id(3)
+    rows = pl.ds(pl.multiple_of(kk * bk, bk), bk)
+
+    nk = pl.num_programs(3)
+    @pl.when(i == 0)
+    def _regen():
+        eps = common.tile_eps(seed_ref[s], j, kk, nk, (bk, w_ref.shape[1]))
+        w_ref[rows, :] = mu_ref[:] + jax.nn.softplus(rho_ref[:]) * eps
+
+    partial = jnp.dot(x_ref[0], w_ref[rows, :], preferred_element_type=jnp.float32)
+
+    @pl.when(kk == 0)
+    def _init():
+        o_ref[0] = partial
+
+    @pl.when(kk > 0)
+    def _acc():
+        o_ref[0] += partial
+
+
+def _pad2(a: jax.Array, r: int, c: int) -> jax.Array:
+    return jnp.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1])))
+
+
+def pallas_sampled_dense(x, mu, rho, seeds):
+    S, M, K = x.shape
+    _, N = mu.shape
+    Kp, Np = common.pad_amounts(K, N)
+    bk, bn = common.pick_tiles(Kp, Np)
+    bm = min(128, common.round_up(M, 8))
+    Mp = common.round_up(M, bm)
+    xp = jnp.pad(x, ((0, 0), (0, Mp - M), (0, Kp - K)))
+    mup, rhop = _pad2(mu, Kp, Np), _pad2(rho, Kp, Np)
+    grid = (S, Np // bn, Mp // bm, Kp // bk)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bm, bk), lambda s, j, i, kk: (s, i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda s, j, i, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda s, j, i, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda s, j, i, kk: (s, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, Mp, Np), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Kp, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * Mp * Kp * Np,
+            bytes_accessed=4 * (S * Mp * Kp + 2 * Kp * Np + S * Mp * Np),
+            transcendentals=S * Kp * Np * 3,
+        ),
+    )(seeds.astype(jnp.int32), xp, mup, rhop)
+    return out[:, :M, :N]
+
+
+# ---------------------------------------------------------------------------
+# Weight regeneration (backward + parity checks)
+# ---------------------------------------------------------------------------
+
+def _regen_kernel(seed_ref, mu_ref, rho_ref, w_ref):
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
+    shape = (w_ref.shape[1], w_ref.shape[2])
+    eps = common.tile_eps(seed_ref[s], j, kk, nk, shape)
+    w_ref[0] = mu_ref[:] + jax.nn.softplus(rho_ref[:]) * eps
+
+
+def pallas_regenerate_weights(mu, rho, seeds):
+    K, N = mu.shape
+    S = seeds.shape[0]
+    Kp, Np = common.pad_amounts(K, N)
+    bk, bn = common.pick_tiles(Kp, Np)
+    mup, rhop = _pad2(mu, Kp, Np), _pad2(rho, Kp, Np)
+    out = pl.pallas_call(
+        _regen_kernel,
+        grid=(S, Np // bn, Kp // bk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bk, bn), lambda s, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda s, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bk, bn), lambda s, j, kk: (s, kk, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, Kp, Np), jnp.float32),
+    )(seeds.astype(jnp.int32), mup, rhop)
+    return out[:, :K, :N]
+
+
+def regenerate_weights(mu, rho, seeds):
+    """(S, K, N) sampled weights, same eps stream as the fused forward."""
+    if use_pallas():
+        return pallas_regenerate_weights(mu, rho, seeds)
+    return naive_weights(mu, rho, seeds)
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def sampled_dense(x: jax.Array, mu: jax.Array, rho: jax.Array, seeds: jax.Array):
+    """``(S, M, K) @ sampled (K, N) -> (S, M, N)`` with per-sample weights."""
+    if use_pallas():
+        return pallas_sampled_dense(x, mu, rho, seeds)
+    return naive_sampled_dense(x, mu, rho, seeds)
+
+
+def _sampled_dense_fwd(x, mu, rho, seeds):
+    return sampled_dense(x, mu, rho, seeds), (x, mu, rho, seeds)
+
+
+def _sampled_dense_bwd(res, g):
+    x, mu, rho, seeds = res
+    w = regenerate_weights(mu, rho, seeds)
+    sigma = jax.nn.softplus(rho)
+    eps = (w - mu[None]) / sigma[None]
+    dx = jnp.einsum("smn,skn->smk", g, w)
+    dw = jnp.einsum("smk,smn->skn", x, g)
+    dmu = jnp.sum(dw, axis=0)
+    drho = jnp.sum(dw * eps, axis=0) * jax.nn.sigmoid(rho)
+    dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
+    return dx, dmu, drho, dseeds
+
+
+sampled_dense.defvjp(_sampled_dense_fwd, _sampled_dense_bwd)

@@ -18,5 +18,8 @@ os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# BAYEFORMERS_TEST_TPU=1 keeps the real TPU backend so tests/test_ops_tpu.py
+# can exercise the Pallas kernels; everything else runs on the CPU mesh.
+if os.environ.get("BAYEFORMERS_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

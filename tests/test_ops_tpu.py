@@ -1,0 +1,85 @@
+"""Pallas kernel parity tests — require a real TPU.
+
+Run with ``BAYEFORMERS_TEST_TPU=1 python -m pytest tests/test_ops_tpu.py``;
+under the default CPU test backend these are skipped (the Mosaic PRNG
+primitives have no CPU/interpret lowering).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayeformers_tpu.core.prior import MOPED_PRIOR_SIGMA
+from bayeformers_tpu.ops import logprob as lp
+from bayeformers_tpu.ops import sampled_linear as sl
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs real TPU (Pallas/Mosaic)"
+)
+
+SHAPES = [(2, 8, 256, 256), (3, 64, 784, 512), (1, 13, 768, 3072)]
+
+
+@pytest.mark.parametrize("S,M,K,N", SHAPES)
+def test_fused_matmul_parity(S, M, K, N):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(S, M, K)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+    seeds = jnp.arange(1, S + 1, dtype=jnp.int32)
+    y = sl.pallas_sampled_dense(x, mu, rho, seeds)
+    w = sl.pallas_regenerate_weights(mu, rho, seeds)
+    yref = jnp.einsum("smk,skn->smn", x, w)
+    rel = float(jnp.max(jnp.abs(y - yref)) / (jnp.max(jnp.abs(yref)) + 1e-9))
+    assert rel < 1e-6
+    # deterministic + distinct per sample
+    y2 = sl.pallas_sampled_dense(x, mu, rho, seeds)
+    assert bool(jnp.all(y == y2))
+    if S > 1:
+        assert not np.allclose(np.asarray(w[0]), np.asarray(w[1]))
+
+
+def test_eps_distribution():
+    """On-chip Box-Muller eps must be standard normal."""
+    K, N = 784, 512
+    mu = jnp.zeros((K, N))
+    rho = jnp.full((K, N), 10.0)  # sigma ~= 10 + softplus tail, eps = w/sigma
+    seeds = jnp.arange(4, dtype=jnp.int32)
+    w = sl.pallas_regenerate_weights(mu, rho, seeds)
+    eps = np.asarray(w) / float(jax.nn.softplus(10.0))
+    assert abs(eps.mean()) < 5e-3
+    assert abs(eps.std() - 1.0) < 5e-3
+    assert abs((eps < 0).mean() - 0.5) < 5e-3
+    # 4th moment ~ 3 for a Gaussian
+    assert abs((eps**4).mean() - 3.0) < 0.1
+
+
+@pytest.mark.parametrize("S,M,K,N", SHAPES[:2])
+def test_fused_logprobs_vs_float64(S, M, K, N):
+    """Kernel reductions within 1e-5 of float64 ground truth."""
+    rng = np.random.default_rng(1)
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+    pm = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    seeds = jnp.arange(10, 10 + S, dtype=jnp.int32)
+    w = np.asarray(sl.pallas_regenerate_weights(mu, rho, seeds), np.float64)
+    mu64 = np.asarray(mu, np.float64)
+    sig64 = np.logaddexp(0.0, np.asarray(rho, np.float64))
+    pm64 = np.asarray(pm, np.float64)
+    mix = (0.5, 1.0, float(np.exp(-6.0)))
+    logq, logp_mix = lp.sampled_logprobs(mu, rho, seeds, mixture=mix)
+    _, logp_g = lp.sampled_logprobs(mu, rho, seeds, prior_mu=pm)
+    c = -0.5 * np.log(2 * np.pi)
+    for s in range(S):
+        zq = (w[s] - mu64) / sig64
+        ref_q = np.sum(c - np.log(sig64) - 0.5 * zq * zq)
+        lp1 = np.log(mix[0]) + c - np.log(mix[1]) - 0.5 * (w[s] / mix[1]) ** 2
+        lp2 = np.log1p(-mix[0]) + c - np.log(mix[2]) - 0.5 * (w[s] / mix[2]) ** 2
+        ref_mix = np.sum(np.logaddexp(lp1, lp2))
+        zg = (w[s] - pm64) / MOPED_PRIOR_SIGMA
+        ref_g = np.sum(c - math.log(MOPED_PRIOR_SIGMA) - 0.5 * zg * zg)
+        assert abs(float(logq[s]) - ref_q) / abs(ref_q) < 1e-5
+        assert abs(float(logp_mix[s]) - ref_mix) / abs(ref_mix) < 1e-5
+        assert abs(float(logp_g[s]) - ref_g) / abs(ref_g) < 1e-5
