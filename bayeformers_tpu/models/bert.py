@@ -1,0 +1,135 @@
+"""HF FLAX transformer adapters (BERT / DistilBERT, classification / QA).
+
+The reference fine-tunes ``AutoModelForSequenceClassification`` on GLUE
+(`examples/bert_glue.py:48-53`) and ``AutoModelForQuestionAnswering`` on
+SQuAD (`examples/bert_squad.py`), pulling pretrained weights from the hub.
+This adapter builds the FLAX equivalents; with no network egress (or
+``pretrained=None``) it constructs randomly-initialized models from a config,
+which is exactly what the perf benchmarks need. It also reproduces the
+reference's model-family input pruning: distilbert-style models take no
+``token_type_ids`` (`examples/bert_squad.py:184-185`).
+
+The returned ``apply_fn(params, **batch)`` closes over ``module.apply`` so
+both the vmapped tier-A path and the interception-based fused Pallas path
+(nn/fused.py) work on it unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+BERT_BASE_KWARGS = dict(
+    vocab_size=30522, hidden_size=768, num_hidden_layers=12,
+    num_attention_heads=12, intermediate_size=3072, max_position_embeddings=512,
+)
+BERT_TINY_KWARGS = dict(
+    vocab_size=1024, hidden_size=128, num_hidden_layers=2,
+    num_attention_heads=2, intermediate_size=256, max_position_embeddings=128,
+)
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    hf_model: Any
+    apply_fn: Callable[..., Any]   # (params, input_ids, attention_mask, token_type_ids, deterministic=..., rngs=...) -> logits
+    params: Any
+    config: Any
+    uses_token_type_ids: bool
+
+
+def build_bert(
+    task: str = "classification",
+    n_labels: int = 2,
+    pretrained: Optional[str] = None,
+    size: str = "base",
+    seed: int = 0,
+    dtype=jnp.float32,
+    **config_overrides,
+) -> ModelBundle:
+    """Build a Flax BERT for ``task`` in {'classification', 'qa'}.
+
+    ``pretrained`` may be a local path or hub name (requires network/cache);
+    otherwise a random-init model from a BERT-base (or 'tiny' test-size)
+    config is returned.
+    """
+    from transformers import BertConfig
+    from transformers import (
+        FlaxBertForQuestionAnswering,
+        FlaxBertForSequenceClassification,
+    )
+
+    cls = (
+        FlaxBertForSequenceClassification
+        if task == "classification"
+        else FlaxBertForQuestionAnswering
+    )
+    if pretrained is not None:
+        model = cls.from_pretrained(pretrained, num_labels=n_labels, dtype=dtype)
+        config = model.config
+    else:
+        kwargs = dict(BERT_BASE_KWARGS if size == "base" else BERT_TINY_KWARGS)
+        kwargs.update(config_overrides)
+        config = BertConfig(num_labels=n_labels, **kwargs)
+        model = cls(config, seed=seed, dtype=dtype)
+    params = model.params
+
+    def apply_fn(
+        p,
+        input_ids,
+        attention_mask=None,
+        token_type_ids=None,
+        position_ids=None,
+        deterministic: bool = True,
+        rngs: Optional[dict] = None,
+    ):
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(
+                jnp.arange(input_ids.shape[-1]), input_ids.shape
+            )
+        out = model.module.apply(
+            {"params": p},
+            input_ids, attention_mask, token_type_ids, position_ids, None,
+            deterministic=deterministic,
+            return_dict=False,
+            rngs=rngs,
+        )
+        if task == "classification":
+            return out[0]
+        return out[0], out[1]  # start_logits, end_logits
+
+    return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=True)
+
+
+def prune_inputs(bundle: ModelBundle, inputs: dict) -> dict:
+    """Drop token_type_ids for model families that do not take them
+    (reference `examples/bert_squad.py:184-185`)."""
+    if not bundle.uses_token_type_ids:
+        inputs = {k: v for k, v in inputs.items() if k != "token_type_ids"}
+    return inputs
+
+
+def synthetic_batch(
+    rng, batch_size: int, seq_len: int, vocab_size: int, n_labels: int = 2,
+    task: str = "classification",
+) -> dict:
+    """Offline stand-in for a tokenized GLUE/SQuAD batch."""
+    ids = rng.integers(0, vocab_size, (batch_size, seq_len))
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attention_mask": jnp.ones((batch_size, seq_len), jnp.int32),
+        "token_type_ids": jnp.zeros((batch_size, seq_len), jnp.int32),
+    }
+    if task == "classification":
+        batch["labels"] = jnp.asarray(rng.integers(0, n_labels, (batch_size,)))
+    else:
+        batch["start_positions"] = jnp.asarray(rng.integers(0, seq_len, (batch_size,)))
+        batch["end_positions"] = jnp.asarray(rng.integers(0, seq_len, (batch_size,)))
+    return batch

@@ -9,3 +9,8 @@ from bayeformers_tpu.nn.surgery import (  # noqa: F401
     find_convertible_paths,
     to_bayesian,
 )
+from bayeformers_tpu.nn.layers import (  # noqa: F401
+    BayesLinear,
+    bayes_apply,
+    collect_kl,
+)

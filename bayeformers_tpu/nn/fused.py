@@ -1,0 +1,184 @@
+"""Fused Monte-Carlo forward for arbitrary Flax models.
+
+Tier-A (`BayesianModel.mc_apply`) vmaps S stochastic forwards, materializing
+every sampled weight in HBM per sample — a faithful but bandwidth-bound
+mapping of the reference's sequential S-loop (`examples/bert_glue.py:63`).
+
+This module implements the TPU-first alternative: run the model ONCE over an
+``S*B`` super-batch and intercept every converted ``nn.Dense`` call
+(`flax.linen.intercept_methods`), routing it through the Pallas fused
+sampled-matmul with an explicit per-sample weight axis. Non-converted ops
+(LayerNorm, softmax, embeddings, residuals) are per-example and simply see a
+bigger batch; the MXU sees S-fold larger matmuls; sampled weights never
+round-trip HBM. Per-layer ``log_q``/``log_prior`` come from the fused
+KL-reduction kernels and are summed model-wide, matching the reference
+``Model.log_prior()`` aggregation semantics (`bayeformers/nn/model.py:70-89`).
+
+Sample-axis convention: batch-like leading axes are tiled S-major
+(``x_tiled[s*B + b] == x[b]``), so inside the interceptor a ``(S*B, ..., K)``
+activation reshapes losslessly to ``(S, B*..., K)`` for the kernel.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bayeformers_tpu.core import distributions as dist
+from bayeformers_tpu.core import prior as prior_lib
+from bayeformers_tpu.ops import common as ops_common
+from bayeformers_tpu.ops import fused_linear as ops_fused
+from bayeformers_tpu.ops import logprob as ops_logprob
+from bayeformers_tpu.ops import sampled_linear as ops_linear
+
+SEP = "/"
+
+
+def tile_samples(tree: Any, n_samples: int) -> Any:
+    """Tile every array leaf S-major along a new flattened leading axis."""
+    def tile(a):
+        if not hasattr(a, "shape") or a.ndim == 0:
+            return a
+        return jnp.broadcast_to(a[None], (n_samples,) + a.shape).reshape(
+            (n_samples * a.shape[0],) + a.shape[1:]
+        )
+    return jax.tree.map(tile, tree)
+
+
+def untile_samples(tree: Any, n_samples: int) -> Any:
+    """Inverse of :func:`tile_samples`: ``(S*B, ...) -> (S, B, ...)``."""
+    def untile(a):
+        if not hasattr(a, "shape") or a.ndim == 0:
+            return a
+        return a.reshape((n_samples, a.shape[0] // n_samples) + a.shape[1:])
+    return jax.tree.map(untile, tree)
+
+
+def _bias_logprobs(b, bmu, bsig, beps, prior_mu, mixture):
+    """(S,) log_q and log_p for a sampled bias (small; plain jnp)."""
+    lq = jnp.sum(
+        -dist.LOG_SQRT_2PI - jnp.log(bsig)[None] - 0.5 * beps * beps, axis=-1
+    )
+    if prior_mu is not None:
+        z = (b - prior_mu[None]) / prior_lib.MOPED_PRIOR_SIGMA
+        lp = jnp.sum(
+            -dist.LOG_SQRT_2PI - jnp.log(prior_lib.MOPED_PRIOR_SIGMA) - 0.5 * z * z,
+            axis=-1,
+        )
+    else:
+        lp = jax.vmap(
+            lambda bi: dist.scale_mixture_log_prob(bi, *mixture)
+        )(b)
+    return lq, lp
+
+
+def fused_mc_apply(
+    apply_fn,
+    spec,
+    bparams,
+    key: jax.Array,
+    n_samples: int,
+    *args,
+    convert_embeddings: bool = False,
+    **kwargs,
+):
+    """S-sample fused forward. Returns ``(outputs, aux)`` like
+    ``BayesianModel.mc_apply``: outputs have a leading (S, B, ...) axis and
+    aux carries (S,)-shaped ``log_prior`` / ``log_variational_posterior``.
+    """
+    S = n_samples
+    paths = spec.paths
+    path_index = {p: i for i, p in enumerate(paths)}
+    mixture = (spec.prior.pi, spec.prior.sigma1, spec.prior.sigma2)
+    collected: list[tuple[jax.Array, jax.Array]] = []
+
+    def layer_seeds(i: int) -> jax.Array:
+        keys = jax.random.split(jax.random.fold_in(key, i), S)
+        return ops_common.seed_from_key(keys)
+
+    def handle_dense(mod, x):
+        kpath = SEP.join(mod.path + ("kernel",))
+        mu = mod.variables["params"]["kernel"]
+        rho = bparams.rho[kpath]
+        seeds = layer_seeds(path_index[kpath])
+        lead, K = x.shape[:-1], x.shape[-1]
+        xs = x.reshape(S, -1, K)
+        if spec.moped and spec.frozen:
+            # mu is frozen at the pretrained weights == the prior center, so
+            # the kernel can skip streaming a separate prior_mu array
+            y, lq, lp = ops_fused.bayes_linear(xs, mu, rho, seeds, prior_on_mu=True)
+        elif spec.moped:
+            y, lq, lp = ops_fused.bayes_linear(
+                xs, mu, rho, seeds, prior_mu=bparams.prior_mu[kpath]
+            )
+        else:
+            y, lq, lp = ops_fused.bayes_linear(
+                xs, mu, rho, seeds, mixture=mixture
+            )
+        if mod.use_bias:
+            bpath = SEP.join(mod.path + ("bias",))
+            bmu = mod.variables["params"]["bias"]
+            brho = bparams.rho[bpath]
+            bkey = jax.random.fold_in(key, path_index[bpath])
+            beps = jax.random.normal(bkey, (S,) + bmu.shape, bmu.dtype)
+            bsig = dist.sigma_from_rho(brho)
+            b = bmu[None] + bsig[None] * beps
+            y = y + b[:, None, :]
+            lq_b, lp_b = _bias_logprobs(
+                b, bmu, bsig, beps,
+                bparams.prior_mu.get(bpath) if spec.moped else None, mixture,
+            )
+            lq, lp = lq + lq_b, lp + lp_b
+        collected.append((lq, lp))
+        return y.reshape(lead + (y.shape[-1],))
+
+    def handle_embed(mod, ids):
+        epath = SEP.join(mod.path + ("embedding",))
+        mu = mod.variables["params"]["embedding"]
+        rho = bparams.rho[epath]
+        seeds = layer_seeds(path_index[epath])
+        tables = ops_linear.regenerate_weights(mu, rho, seeds)  # (S, V, D)
+        lead = ids.shape
+        ids_s = ids.reshape(S, -1)
+        out = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(tables, ids_s)
+        if spec.moped:
+            lq, lp = ops_logprob.sampled_logprobs(
+                mu, rho, seeds, prior_mu=bparams.prior_mu[epath]
+            )
+        else:
+            lq, lp = ops_logprob.sampled_logprobs(mu, rho, seeds, mixture=mixture)
+        collected.append((lq, lp))
+        return out.reshape(lead + (mu.shape[-1],))
+
+    def interceptor(next_fun, f_args, f_kwargs, context):
+        mod = context.module
+        if context.method_name != "__call__":
+            return next_fun(*f_args, **f_kwargs)
+        if isinstance(mod, nn.Dense):
+            kpath = SEP.join(mod.path + ("kernel",))
+            if kpath in bparams.rho:
+                return handle_dense(mod, f_args[0])
+        if convert_embeddings and isinstance(mod, nn.Embed):
+            epath = SEP.join(mod.path + ("embedding",))
+            if epath in bparams.rho:
+                return handle_embed(mod, f_args[0])
+        return next_fun(*f_args, **f_kwargs)
+
+    tiled_args = tile_samples(args, S)
+    tiled_kwargs = tile_samples(kwargs, S)
+    with nn.intercept_methods(interceptor):
+        out = apply_fn(bparams.params, *tiled_args, **tiled_kwargs)
+
+    if not collected:
+        raise ValueError(
+            "fused_mc_apply intercepted no converted layers; the model's "
+            "apply function must route through flax module __call__s"
+        )
+    log_q = sum(lq for lq, _ in collected)
+    log_p = sum(lp for _, lp in collected)
+    return untile_samples(out, S), {
+        "log_prior": log_p,
+        "log_variational_posterior": log_q,
+    }

@@ -166,6 +166,28 @@ class BayesianModel:
         keys = jax.random.split(key, n_samples)
         return jax.vmap(lambda k: self.apply(bparams, k, *args, **kwargs))(keys)
 
+    def mc_apply_fused(
+        self, bparams: BayesParams, key: jax.Array, n_samples: int, *args, **kwargs
+    ):
+        """S MC forwards as ONE super-batched pass through the Pallas tier.
+
+        Same contract as :meth:`mc_apply`, but instead of vmapping S full
+        forwards it tiles the batch S-major and intercepts every converted
+        ``nn.Dense`` (and opt-in ``nn.Embed``) call, routing it through the
+        fused sampled-matmul / KL-reduction kernels with per-sample weights
+        (see nn/fused.py). Requires ``apply_fn`` to call a Flax module's
+        ``apply`` internally (true for all linen models incl. HF FLAX).
+        """
+        from bayeformers_tpu.nn import fused as fused_lib
+
+        convert_embeddings = any(
+            p.rsplit(SEP, 1)[-1] == "embedding" for p in self.spec.paths
+        )
+        return fused_lib.fused_mc_apply(
+            self.apply_fn, self.spec, bparams, key, n_samples, *args,
+            convert_embeddings=convert_embeddings, **kwargs,
+        )
+
     # -- trainability -------------------------------------------------------
     def trainable_mask(self, bparams: BayesParams) -> BayesParams:
         """Bool pytree for optax.masked: False = do not train.

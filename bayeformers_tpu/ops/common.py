@@ -61,6 +61,24 @@ def box_muller(bits1: jax.Array, bits2: jax.Array) -> jax.Array:
     return r * jnp.cos(TWO_PI * u2)
 
 
+# The canonical eps-generation unit for the full-K kernels: a fixed
+# (UNIT_K, UNIT_N) block independently seeded by its absolute grid position.
+# Small units keep the Box-Muller temporaries tiny in VMEM, and absolute
+# seeding lets any kernel (forward, regeneration, future transposed backward)
+# reconstruct any sub-block regardless of its own tiling.
+UNIT_K = 256
+UNIT_N = 128
+_UNIT_STRIDE = 1 << 16  # unit id = k_chunk * stride + col_strip (no collisions)
+
+
+def unit_eps(seed: jax.Array, col_strip, k_chunk) -> jax.Array:
+    """Standard-normal (UNIT_K, UNIT_N) block for absolute unit coords."""
+    pltpu.prng_seed(seed, k_chunk * _UNIT_STRIDE + col_strip)
+    bits1 = pltpu.prng_random_bits((UNIT_K, UNIT_N))
+    bits2 = pltpu.prng_random_bits((UNIT_K, UNIT_N))
+    return box_muller(bits1, bits2)
+
+
 def tile_eps(
     seed: jax.Array, j: jax.Array, kk: jax.Array, nk: int, shape: tuple[int, int]
 ) -> jax.Array:

@@ -1,0 +1,407 @@
+"""The combined Bayesian linear op: one kernel for matmul + both log-probs.
+
+``bayes_linear(x, mu, rho, seeds, prior)`` returns ``(y, log_q, log_p)``:
+
+    y[s]     = x[s] @ (mu + softplus(rho) * eps[s])
+    log_q[s] = log N(w[s]; mu, sigma^2).sum()         (posterior)
+    log_p[s] = prior log-density at w[s]              (mixture or MOPED)
+
+Design (driven by measured HBM traffic, see bench.py):
+
+- Grid ``(j, s, i)`` with FULL-K weight tiles: the (Kp, BN) mu/rho blocks
+  have a grid-index independent of (s, i), so Pallas fetches them once per
+  output-column tile j — the same weight traffic as a dense matmul, except
+  two arrays (mu, rho) instead of one (W).
+- The sampled tile lives in VMEM scratch, regenerated once per (j, s) and
+  reused across batch tiles i; eps comes from the deterministic per-tile
+  stream (ops/common.py).
+- The log-prob partial sums are accumulated at ``i == 0`` — at that moment
+  eps and w are already on-chip, so both KL terms cost zero extra HBM
+  traffic (the reference pays a full extra pass over W for them,
+  `bayeformers/nn/layers/linear.py:99-102`).
+- One custom VJP for the whole op: backward regenerates W once and computes
+  dx / dmu / drho (matmul + entropy + prior-score terms) in dense XLA. The
+  split ops in sampled_linear.py / logprob.py each regenerated W separately.
+
+Layers with Kp > MAX_FULLK fall back to the split implementation.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bayeformers_tpu.core.distributions import LOG_SQRT_2PI
+from bayeformers_tpu.core.prior import MOPED_PRIOR_SIGMA
+from bayeformers_tpu.ops import common
+from bayeformers_tpu.ops import logprob as logprob_lib
+from bayeformers_tpu.ops import sampled_linear as split_lib
+
+MAX_FULLK = 4096
+VMEM_LIMIT = 15 * 1024 * 1024
+# Pipeline-buffering headroom beyond the naive block-size sum, plus ~1MB of
+# Box-Muller unit temporaries (eps is generated in (256,128) units).
+VMEM_FUDGE = 1.2
+TEMPS_BYTES = 1 << 20
+
+
+def _pick_bn_bm(
+    k_pad: int, n_pad: int, m: int, n_weight_arrays: int
+) -> tuple[int, int] | None:
+    """(BN, BM) minimizing grid steps under the VMEM budget; None if none fit.
+
+    Each TPU grid step carries a fixed ~2-3us pipeline cost (measured; it
+    dominated the first kernel version at 960 steps/call), so the objective
+    is FEWEST grid steps ``(Np/BN)*(Mp/BM)``, tie-broken toward larger BM
+    (better MXU row utilization). VMEM model: ``n_weight_arrays`` (mu, rho
+    [, prior_mu]) double-buffered at (Kp, BN), the W scratch, the
+    double-buffered x block, the output block, and ~1MB of eps-unit temps.
+    """
+    bm_cap = min(512, common.round_up(m, 8))
+    best = None
+    best_cost = None
+    for bm in (512, 256, 128, 64, 32, 16, 8):
+        if bm > bm_cap:
+            continue
+        for bn in (512, 256, 128):
+            if n_pad % bn:
+                continue
+            est = 4 * (
+                n_weight_arrays * k_pad * bn * 2
+                + k_pad * bn
+                + bm * k_pad * 2
+                + bm * bn * 2
+            ) + TEMPS_BYTES
+            if est * VMEM_FUDGE > VMEM_LIMIT:
+                continue
+            m_pad = common.round_up(m, bm)
+            steps = (n_pad // bn) * (m_pad // bm)
+            cost = (steps, -bm, -bn)
+            if best_cost is None or cost < best_cost:
+                best_cost = cost
+                best = (bn, bm)
+    return best
+
+
+def _kernel(k_act, n_act, prior, seed_ref, x_ref, mu_ref, rho_ref, *rest):
+    if prior[0] == "gaussian":
+        pmu_ref, o_ref, logq_ref, logp_ref, w_ref = rest
+    else:
+        o_ref, logq_ref, logp_ref, w_ref = rest
+    j = pl.program_id(0)
+    s = pl.program_id(1)
+    i = pl.program_id(2)
+    kp, bn = w_ref.shape
+    UK, UN = common.UNIT_K, common.UNIT_N
+
+    @pl.when(i == 0)
+    def _regen_and_logprob():
+        t_q = jnp.zeros((), jnp.float32)
+        t_p = jnp.zeros((), jnp.float32)
+        # Sample the tile unit-by-unit; each (UK, UN) unit also contributes
+        # its masked log-prob partial sums while eps/w are in registers.
+        for c in range(kp // UK):
+            for t in range(bn // UN):
+                rows = slice(c * UK, (c + 1) * UK)
+                cols = slice(t * UN, (t + 1) * UN)
+                eps = common.unit_eps(seed_ref[s], j * (bn // UN) + t, c)
+                rho_u = rho_ref[rows, cols]
+                sigma = jax.nn.softplus(rho_u)
+                w = mu_ref[rows, cols] + sigma * eps
+                w_ref[rows, cols] = w
+
+                # Aligned layers (all BERT shapes) need no masking: the padded
+                # dims equal the actual ones, so the mask is a compile-time
+                # constant True and the iota/compare/select work is skipped.
+                aligned = (kp == k_act) and (pl.num_programs(0) * bn == n_act)
+                if aligned:
+                    mask = None
+                else:
+                    r_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 0) + c * UK
+                    )
+                    c_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 1)
+                        + j * bn + t * UN
+                    )
+                    mask = (r_idx < k_act) & (c_idx < n_act)
+                zero = jnp.zeros_like(w)
+
+                logq_terms = -LOG_SQRT_2PI - jnp.log(sigma) - 0.5 * eps * eps
+                if prior[0] == "gaussian":
+                    z = (w - pmu_ref[rows, cols]) / MOPED_PRIOR_SIGMA
+                    logp_terms = (
+                        -LOG_SQRT_2PI - math.log(MOPED_PRIOR_SIGMA) - 0.5 * z * z
+                    )
+                elif prior[0] == "gaussian_on_mu":
+                    # frozen-MOPED fast path: prior centered on mu itself, so
+                    # w - prior_mu = sigma*eps; no third weight array needed
+                    z = sigma * eps / MOPED_PRIOR_SIGMA
+                    logp_terms = (
+                        -LOG_SQRT_2PI - math.log(MOPED_PRIOR_SIGMA) - 0.5 * z * z
+                    )
+                else:
+                    _, pi, s1, s2 = prior
+                    lp1 = -LOG_SQRT_2PI - math.log(s1) - 0.5 * (w / s1) ** 2
+                    lp2 = -LOG_SQRT_2PI - math.log(s2) - 0.5 * (w / s2) ** 2
+                    logp_terms = jnp.logaddexp(
+                        math.log(pi) + lp1, math.log1p(-pi) + lp2
+                    )
+
+                if mask is None:
+                    t_q += jnp.sum(logq_terms)
+                    t_p += jnp.sum(logp_terms)
+                else:
+                    t_q += jnp.sum(jnp.where(mask, logq_terms, zero))
+                    t_p += jnp.sum(jnp.where(mask, logp_terms, zero))
+
+        @pl.when(j == 0)
+        def _init():
+            logq_ref[s, 0] = t_q
+            logp_ref[s, 0] = t_p
+
+        @pl.when(j > 0)
+        def _acc():
+            logq_ref[s, 0] += t_q
+            logp_ref[s, 0] += t_p
+
+    o_ref[0] = jnp.dot(x_ref[0], w_ref[:, :], preferred_element_type=jnp.float32)
+
+
+def _n_weight_arrays(prior: tuple) -> int:
+    return 3 if prior[0] == "gaussian" else 2
+
+
+def _pad_kn(k: int, n: int) -> tuple[int, int]:
+    # K rounds to the eps-unit height so tiles divide into whole units.
+    return common.round_up(k, common.UNIT_K), common.round_up(n, 128)
+
+
+def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple):
+    S, M, K = x.shape
+    _, N = mu.shape
+    Kp, Np = _pad_kn(K, N)
+    bn, bm = _pick_bn_bm(Kp, Np, M, _n_weight_arrays(prior))
+    Mp = common.round_up(M, bm)
+    xp = jnp.pad(x, ((0, 0), (0, Mp - M), (0, Kp - K)))
+    mup = jnp.pad(mu, ((0, Kp - K), (0, Np - N)))
+    rhop = jnp.pad(rho, ((0, Kp - K), (0, Np - N)))
+    grid = (Np // bn, S, Mp // bm)
+
+    weight_spec = pl.BlockSpec(
+        (Kp, bn), lambda j, s, i: (0, j), memory_space=pltpu.VMEM
+    )
+    inputs = [seeds.astype(jnp.int32), xp, mup, rhop]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, bm, Kp), lambda j, s, i: (s, i, 0),
+                     memory_space=pltpu.VMEM),
+        weight_spec,
+        weight_spec,
+    ]
+    if prior[0] == "gaussian":
+        inputs.append(jnp.pad(prior_mu, ((0, Kp - K), (0, Np - N))))
+        in_specs.append(weight_spec)
+
+    y, logq, logp = pl.pallas_call(
+        functools.partial(_kernel, K, N, prior),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bm, bn), lambda j, s, i: (s, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 1), lambda j, s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, 1), lambda j, s, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, Mp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((Kp, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * Mp * Kp * Np,
+            bytes_accessed=4 * (S * Mp * Kp + 2 * Kp * Np + S * Mp * Np),
+            transcendentals=S * Kp * Np * 4,
+        ),
+    )(*inputs)
+    return y[:, :M, :N], logq[:, 0], logp[:, 0]
+
+
+def _fullk_regen_kernel(seed_ref, mu_ref, rho_ref, w_ref):
+    """Regenerate W with the same unit-canonical eps stream as _kernel."""
+    j = pl.program_id(0)
+    s = pl.program_id(1)
+    kp, bn = w_ref.shape[1], w_ref.shape[2]
+    UK, UN = common.UNIT_K, common.UNIT_N
+    for c in range(kp // UK):
+        for t in range(bn // UN):
+            rows = slice(c * UK, (c + 1) * UK)
+            cols = slice(t * UN, (t + 1) * UN)
+            eps = common.unit_eps(seed_ref[s], j * (bn // UN) + t, c)
+            w_ref[0, rows, cols] = (
+                mu_ref[rows, cols] + jax.nn.softplus(rho_ref[rows, cols]) * eps
+            )
+
+
+def _pallas_fullk_regen(mu, rho, seeds):
+    K, N = mu.shape
+    S = seeds.shape[0]
+    Kp, Np = _pad_kn(K, N)
+    bn = 128  # smallest strip: regen traffic is output-dominated anyway
+    mup = jnp.pad(mu, ((0, Kp - K), (0, Np - N)))
+    rhop = jnp.pad(rho, ((0, Kp - K), (0, Np - N)))
+    w = pl.pallas_call(
+        _fullk_regen_kernel,
+        grid=(Np // bn, S),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((Kp, bn), lambda j, s: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, bn), lambda j, s: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Kp, bn), lambda j, s: (s, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, Kp, Np), jnp.float32),
+    )(seeds.astype(jnp.int32), mup, rhop)
+    return w[:, :K, :N]
+
+
+def _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple):
+    w = split_lib.naive_weights(mu, rho, seeds)
+    y = jnp.einsum("smk,skn->smn", x, w)
+    sigma = jax.nn.softplus(rho)
+    eps = (w - mu[None]) / sigma[None]
+    logq = jnp.sum(
+        -LOG_SQRT_2PI - jnp.log(sigma)[None] - 0.5 * eps * eps, axis=(1, 2)
+    )
+    if prior[0] in ("gaussian", "gaussian_on_mu"):
+        z = (w - prior_mu[None]) / MOPED_PRIOR_SIGMA
+        logp = jnp.sum(
+            -LOG_SQRT_2PI - math.log(MOPED_PRIOR_SIGMA) - 0.5 * z * z,
+            axis=(1, 2),
+        )
+    else:
+        _, pi, s1, s2 = prior
+        logp = jnp.sum(logprob_lib._mixture_log_pdf(w, pi, s1, s2), axis=(1, 2))
+    return y, logq, logp
+
+
+def _regen(mu, rho, seeds):
+    """Regenerate exactly the weights the forward used (same dispatch)."""
+    if split_lib.use_pallas():
+        return _pallas_fullk_regen(mu, rho, seeds)
+    return split_lib.naive_weights(mu, rho, seeds)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple):
+    if split_lib.use_pallas():
+        return _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior)
+    return _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior)
+
+
+def _fwd(x, mu, rho, seeds, prior_mu, prior):
+    return _bayes_linear(x, mu, rho, seeds, prior_mu, prior), (
+        x, mu, rho, seeds, prior_mu,
+    )
+
+
+def _bwd(prior, res, cotangents):
+    x, mu, rho, seeds, prior_mu = res
+    g_y, g_q, g_p = cotangents
+    w = _regen(mu, rho, seeds)
+    sigma = jax.nn.softplus(rho)
+    sigmoid = jax.nn.sigmoid(rho)
+    eps = (w - mu[None]) / sigma[None]
+
+    # matmul terms
+    dx = jnp.einsum("smn,skn->smk", g_y, w)
+    dw = jnp.einsum("smk,smn->skn", x, g_y)
+
+    # prior score at w
+    gp = g_p[:, None, None]
+    if prior[0] == "gaussian":
+        score = -(w - prior_mu[None]) / MOPED_PRIOR_SIGMA**2
+        dprior_mu = -jnp.sum(gp * score, axis=0)
+        dmu_prior = jnp.sum(gp * score, axis=0)
+    elif prior[0] == "gaussian_on_mu":
+        # prior centered on mu: the sample path (+score) and center path
+        # (-score) cancel exactly in d/dmu; only rho feels the prior.
+        score = -(sigma[None] * eps) / MOPED_PRIOR_SIGMA**2
+        dprior_mu = jnp.zeros_like(prior_mu)
+        dmu_prior = jnp.zeros_like(mu)
+    else:
+        score = logprob_lib._mixture_score(w, prior[1], prior[2], prior[3])
+        dprior_mu = jnp.zeros_like(prior_mu)
+        dmu_prior = jnp.sum(gp * score, axis=0)
+
+    dmu = jnp.sum(dw, axis=0) + dmu_prior
+    drho = (
+        jnp.sum(dw * eps, axis=0)
+        + jnp.sum(gp * score * eps, axis=0)
+        - jnp.sum(g_q) / sigma
+    ) * sigmoid
+    dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
+    return dx, dmu, drho, dseeds, dprior_mu
+
+
+_bayes_linear.defvjp(_fwd, _bwd)
+
+
+# Public alias: the regeneration matching bayes_linear's eps stream (the
+# split ops' regenerate_weights uses a different tiling and therefore a
+# different stream on TPU).
+regenerate_weights = _regen
+
+
+def bayes_linear(
+    x, mu, rho, seeds, *, mixture=None, prior_mu=None, prior_on_mu: bool = False
+):
+    """Combined sampled matmul + per-sample log-probs in one op.
+
+    Prior selection (exactly one):
+    - ``mixture=(pi, sigma1, sigma2)`` — scale-mixture prior;
+    - ``prior_mu`` — MOPED Gaussian prior centered on the given (pretrained)
+      weights;
+    - ``prior_on_mu=True`` — MOPED prior centered on ``mu`` itself: valid
+      when mu is frozen at the pretrained weights (``freeze=True``, the
+      reference GLUE/SQuAD recipe `examples/bert_glue.py:167`); saves a third
+      weight-array stream in the kernel.
+
+    Returns ``(y, log_q, log_p)`` with ``log_*`` of shape (S,).
+    """
+    given = sum(v is not None and v is not False for v in (mixture, prior_mu)) + int(
+        prior_on_mu
+    )
+    if given != 1:
+        raise ValueError("pass exactly one of `mixture`, `prior_mu`, `prior_on_mu`")
+    if prior_on_mu:
+        prior = ("gaussian_on_mu",)
+        prior_mu = mu  # dummy; kernel never reads it, backward returns zeros
+    elif prior_mu is not None:
+        prior = ("gaussian",)
+    else:
+        prior = ("mixture",) + tuple(float(v) for v in mixture)
+        prior_mu = mu  # unused dummy; zero cotangent in backward
+
+    # Layers too large for the full-K kernel take the split multi-tile path
+    # (its own custom VJPs; decision made here so fwd/bwd always agree).
+    kp, np_ = _pad_kn(x.shape[-1], mu.shape[1])
+    if split_lib.use_pallas() and (
+        kp > MAX_FULLK
+        or _pick_bn_bm(kp, np_, x.shape[1], _n_weight_arrays(prior)) is None
+    ):
+        y = split_lib.sampled_dense(x, mu, rho, seeds)
+        if prior[0] == "mixture":
+            lq, lp = logprob_lib.sampled_logprobs(mu, rho, seeds, mixture=mixture)
+        else:
+            lq, lp = logprob_lib.sampled_logprobs(mu, rho, seeds, prior_mu=prior_mu)
+        return y, lq, lp
+    return _bayes_linear(x, mu, rho, seeds, prior_mu, prior)

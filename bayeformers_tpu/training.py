@@ -1,0 +1,154 @@
+"""Reusable jitted ELBO train/eval step factories.
+
+Packages the MC-ELBO idiom every reference workload re-implements inline
+(`examples/bert_glue.py:56-73, 225-241`; SURVEY.md C11) into two factories.
+Losses are sum-reduced over the batch, the KL term is divided by the number
+of minibatches, and — unlike the reference — the whole step (S-sample
+forward, loss, backward, clip, optimizer update) is one compiled XLA program.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import bayeformers_tpu.elbo as elbo
+from bayeformers_tpu.nn.surgery import BayesianModel, BayesParams
+
+
+def classification_loss(out, batch):
+    """Sum-reduced CE on S-averaged logits + accuracy metrics."""
+    labels = batch["labels"]
+    nll = elbo.cross_entropy_sum(elbo.mc_logits_mean(out), labels)
+    acc, acc_std = elbo.accuracy_and_std(out, labels)
+    return nll, {"acc": acc, "acc_std": acc_std}
+
+
+def qa_span_loss(out, batch):
+    """SQuAD span loss: mean of start/end CE (reference
+    `examples/bert_squad.py:307-313`), sum-reduced over the batch."""
+    start_logits, end_logits = out
+    nll = 0.5 * (
+        elbo.cross_entropy_sum(elbo.mc_logits_mean(start_logits), batch["start_positions"])
+        + elbo.cross_entropy_sum(elbo.mc_logits_mean(end_logits), batch["end_positions"])
+    )
+    start_acc, start_std = elbo.accuracy_and_std(start_logits, batch["start_positions"])
+    end_acc, end_std = elbo.accuracy_and_std(end_logits, batch["end_positions"])
+    return nll, {
+        "acc": 0.5 * (start_acc + end_acc),
+        "acc_std": 0.5 * (start_std + end_std),
+    }
+
+
+def make_elbo_train_step(
+    bmodel: BayesianModel,
+    tx: optax.GradientTransformation,
+    n_samples: int,
+    n_batches: int,
+    loss_fn: Callable = classification_loss,
+    fused: bool = True,
+    input_keys: tuple[str, ...] = ("input_ids", "attention_mask", "token_type_ids"),
+):
+    """Returns jitted ``step(bparams, opt_state, key, batch) ->
+    (bparams, opt_state, metrics)``. ``batch`` maps input_keys to model
+    inputs plus whatever ``loss_fn`` needs (labels / positions)."""
+
+    mc = bmodel.mc_apply_fused if fused else bmodel.mc_apply
+
+    @jax.jit
+    def step(bparams: BayesParams, opt_state, key, batch):
+        inputs = {k: batch[k] for k in input_keys if k in batch}
+
+        def objective(bparams):
+            out, aux = mc(bparams, key, n_samples, **inputs)
+            nll, metrics = loss_fn(out, batch)
+            loss = elbo.elbo_loss(
+                nll, aux["log_prior"], aux["log_variational_posterior"], n_batches
+            )
+            metrics = dict(
+                metrics,
+                nll=nll,
+                log_prior=jnp.mean(aux["log_prior"]),
+                log_variational_posterior=jnp.mean(
+                    aux["log_variational_posterior"]
+                ),
+            )
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(objective, has_aux=True)(bparams)
+        updates, opt_state = tx.update(grads, opt_state, bparams)
+        bparams = optax.apply_updates(bparams, updates)
+        metrics["loss"] = loss
+        return bparams, opt_state, metrics
+
+    return step
+
+
+def make_elbo_eval_step(
+    bmodel: BayesianModel,
+    n_samples: int,
+    loss_fn: Callable = classification_loss,
+    fused: bool = True,
+    input_keys: tuple[str, ...] = ("input_ids", "attention_mask", "token_type_ids"),
+):
+    """Returns jitted ``eval_step(bparams, key, batch) -> (out, metrics)``."""
+    mc = bmodel.mc_apply_fused if fused else bmodel.mc_apply
+
+    @jax.jit
+    def eval_step(bparams: BayesParams, key, batch):
+        inputs = {k: batch[k] for k in input_keys if k in batch}
+        out, aux = mc(bparams, key, n_samples, **inputs)
+        nll, metrics = loss_fn(out, batch)
+        metrics = dict(
+            metrics,
+            nll=nll,
+            log_prior=jnp.mean(aux["log_prior"]),
+            log_variational_posterior=jnp.mean(aux["log_variational_posterior"]),
+        )
+        return out, metrics
+
+    return eval_step
+
+
+def adamw_with_decay_groups(
+    lr, weight_decay: float, mask_no_decay: Callable, eps: float = 1e-8,
+    clip_norm: Optional[float] = 1.0,
+):
+    """AdamW with bias/LayerNorm excluded from weight decay + grad clipping.
+
+    The reference *intends* this grouping but its name filter never matches
+    (`examples/bert_glue.py:104-105`, SURVEY.md Q6) so everything lands in
+    one group; here the grouping actually works. ``mask_no_decay(path) ->
+    bool`` marks parameters that skip decay.
+    """
+    def decay_mask(tree):
+        from flax.traverse_util import flatten_dict, unflatten_dict
+        from bayeformers_tpu.nn.surgery import BayesParams, SEP
+
+        if isinstance(tree, BayesParams):
+            flat = flatten_dict(tree.params, sep=SEP)
+            params_mask = unflatten_dict(
+                {k: not mask_no_decay(k) for k in flat}, sep=SEP
+            )
+            return BayesParams(
+                params=params_mask,
+                rho={k: False for k in tree.rho},  # sigma never decays
+                prior_mu={k: False for k in tree.prior_mu},
+            )
+        return jax.tree.map(lambda _: True, tree)
+
+    chain = []
+    if clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(clip_norm))
+    chain.append(
+        optax.adamw(lr, eps=eps, weight_decay=weight_decay, mask=decay_mask)
+    )
+    return optax.chain(*chain)
+
+
+def default_no_decay(path: str) -> bool:
+    """bias and LayerNorm parameters skip weight decay (HF convention)."""
+    lowered = path.lower()
+    return lowered.endswith("bias") or "layernorm" in lowered.replace("_", "")

@@ -1,0 +1,196 @@
+"""SQuAD v1.1 data pipeline + metrics, dependency-free.
+
+The reference leans on HF's ``SquadV1Processor`` / ``squad_convert_examples_
+to_features`` (tokenize, slide a max_seq=384 window with doc_stride=128 over
+long paragraphs — preprocessing, not parallelism, SURVEY.md §2) and
+``squad_evaluate`` for EM/F1 (`examples/bert_squad.py:146-165, 357-368`).
+This module re-implements the pieces natively so the workload runs offline:
+
+- :func:`load_squad_json` parses the official JSON (downloadable via the
+  reference's ``make squad-bootstrap``, `Makefile:1-4`);
+- :func:`windowize` is the doc-stride overlapping-window chunker over any
+  token sequence;
+- :func:`featurize` builds model inputs given any ``tokenize(text) ->
+  list[int]`` callable (e.g. a local BertTokenizer), mapping character
+  answers to token spans;
+- :func:`exact_match_score` / :func:`f1_score` / :func:`squad_evaluate`
+  reproduce the official normalization (lowercase, strip articles &
+  punctuation, whitespace-fold).
+"""
+from __future__ import annotations
+
+import collections
+import json
+import re
+import string
+from typing import Callable, Iterable
+
+
+# ---------------------------------------------------------------------------
+# Official answer normalization + metrics
+# ---------------------------------------------------------------------------
+
+def normalize_answer(s: str) -> str:
+    s = s.lower()
+    s = "".join(ch for ch in s if ch not in set(string.punctuation))
+    s = re.sub(r"\b(a|an|the)\b", " ", s)
+    return " ".join(s.split())
+
+
+def exact_match_score(prediction: str, ground_truth: str) -> float:
+    return float(normalize_answer(prediction) == normalize_answer(ground_truth))
+
+
+def f1_score(prediction: str, ground_truth: str) -> float:
+    pred_tokens = normalize_answer(prediction).split()
+    gt_tokens = normalize_answer(ground_truth).split()
+    common = collections.Counter(pred_tokens) & collections.Counter(gt_tokens)
+    num_same = sum(common.values())
+    if num_same == 0:
+        return 0.0
+    precision = num_same / len(pred_tokens)
+    recall = num_same / len(gt_tokens)
+    return 2 * precision * recall / (precision + recall)
+
+
+def metric_max_over_ground_truths(metric_fn, prediction, ground_truths):
+    return max(metric_fn(prediction, gt) for gt in ground_truths)
+
+
+def squad_evaluate(
+    predictions: dict[str, str], references: dict[str, list[str]]
+) -> dict[str, float]:
+    """EM/F1 over {qid: predicted_text} vs {qid: [gold answers]}."""
+    em = f1 = 0.0
+    for qid, golds in references.items():
+        pred = predictions.get(qid, "")
+        em += metric_max_over_ground_truths(exact_match_score, pred, golds)
+        f1 += metric_max_over_ground_truths(f1_score, pred, golds)
+    n = max(len(references), 1)
+    return {"exact_match": 100.0 * em / n, "f1": 100.0 * f1 / n}
+
+
+# ---------------------------------------------------------------------------
+# JSON loading
+# ---------------------------------------------------------------------------
+
+def load_squad_json(path: str) -> list[dict]:
+    """Flatten the official JSON into [{qid, question, context, answers:
+    [{text, answer_start}]}]."""
+    with open(path) as fh:
+        data = json.load(fh)["data"]
+    examples = []
+    for article in data:
+        for para in article["paragraphs"]:
+            context = para["context"]
+            for qa in para["qas"]:
+                examples.append(
+                    {
+                        "qid": qa["id"],
+                        "question": qa["question"],
+                        "context": context,
+                        "answers": qa["answers"],
+                    }
+                )
+    return examples
+
+
+# ---------------------------------------------------------------------------
+# Doc-stride windowing + featurization
+# ---------------------------------------------------------------------------
+
+def windowize(n_tokens: int, max_len: int, doc_stride: int) -> list[tuple[int, int]]:
+    """(start, end) windows of at most ``max_len`` tokens covering
+    ``n_tokens``, advancing by ``doc_stride`` (reference behavior: overlap
+    long documents, `examples/bert_squad.py:221-222`)."""
+    if n_tokens <= max_len:
+        return [(0, n_tokens)]
+    windows = []
+    start = 0
+    while True:
+        end = min(start + max_len, n_tokens)
+        windows.append((start, end))
+        if end == n_tokens:
+            return windows
+        start += doc_stride
+
+
+def featurize(
+    examples: Iterable[dict],
+    tokenize: Callable[[str], list[int]],
+    *,
+    max_seq: int = 384,
+    doc_stride: int = 128,
+    cls_id: int = 101,
+    sep_id: int = 102,
+    pad_id: int = 0,
+    is_training: bool = True,
+) -> list[dict]:
+    """[CLS] question [SEP] context-window [SEP] features.
+
+    Answer spans are located by tokenizing the text before the answer start
+    (a tokenizer-agnostic char->token mapping). Training features whose
+    window does not contain the answer point both positions at [CLS]
+    (index 0), mirroring HF semantics.
+    """
+    features = []
+    for ex in examples:
+        q_ids = tokenize(ex["question"])
+        c_ids = tokenize(ex["context"])
+        q_len = len(q_ids) + 2  # CLS + question + SEP
+        window_len = max_seq - q_len - 1  # room for trailing SEP
+        if window_len <= 0:
+            continue
+
+        tok_start = tok_end = None
+        if is_training and ex["answers"]:
+            ans = ex["answers"][0]
+            prefix = ex["context"][: ans["answer_start"]]
+            tok_start = len(tokenize(prefix))
+            tok_end = tok_start + max(len(tokenize(ans["text"])) - 1, 0)
+
+        for w_start, w_end in windowize(len(c_ids), window_len, doc_stride):
+            ids = [cls_id] + q_ids + [sep_id] + c_ids[w_start:w_end] + [sep_id]
+            type_ids = [0] * (q_len) + [1] * (w_end - w_start + 1)
+            mask = [1] * len(ids)
+            pad = max_seq - len(ids)
+            feature = {
+                "qid": ex["qid"],
+                "input_ids": ids + [pad_id] * pad,
+                "attention_mask": mask + [0] * pad,
+                "token_type_ids": type_ids + [0] * pad,
+                "window_start": w_start,
+                "context_offset": q_len,
+            }
+            if is_training:
+                if (
+                    tok_start is not None
+                    and w_start <= tok_start
+                    and tok_end < w_end
+                ):
+                    feature["start_position"] = q_len + (tok_start - w_start)
+                    feature["end_position"] = q_len + (tok_end - w_start)
+                else:
+                    feature["start_position"] = 0  # [CLS]
+                    feature["end_position"] = 0
+            features.append(feature)
+    return features
+
+
+def best_span(start_logits, end_logits, context_offset: int, max_answer_len: int = 30):
+    """Highest-scoring (start <= end) span within the context region."""
+    import numpy as np
+
+    start_logits = np.asarray(start_logits)
+    end_logits = np.asarray(end_logits)
+    n = len(start_logits)
+    best = (context_offset, context_offset)
+    best_score = -np.inf
+    for s in range(context_offset, n):
+        e_hi = min(s + max_answer_len, n)
+        e_rel = int(np.argmax(end_logits[s:e_hi]))
+        score = start_logits[s] + end_logits[s + e_rel]
+        if score > best_score:
+            best_score = score
+            best = (s, s + e_rel)
+    return best, float(best_score)

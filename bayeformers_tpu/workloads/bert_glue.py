@@ -1,0 +1,301 @@
+"""BERT GLUE fine-tune workload — TPU reproduction of `examples/bert_glue.py`.
+
+Four phases, as in the reference (SURVEY.md §3.4):
+  A. frequentist fine-tune (AdamW lr=2e-5 eps=1e-8, CE-sum, grad-clip 1.0,
+     linear LR decay, 5 epochs — `bert_glue.py:77-112`),
+  B. ``to_bayesian(model, delta=DELTA, freeze=True)`` (`bert_glue.py:167`),
+  C. no-grad Bayesian eval (S=10; acc + acc_std across MC draws),
+  D. Bayesian ELBO fine-tune (fresh AdamW, 5 epochs) + final save.
+
+Driven by random hypersearch over DELTA (log) x WEIGHT_DECAY (linear), 10
+iterations (`bert_glue.py:324-331`). Deliberate divergences, documented per
+SURVEY.md quirks: weight-decay grouping actually excludes bias/LayerNorm
+(Q6), the LR schedule steps per optimizer step (Q7), and the KL term is
+differentiable (Q1).
+
+Data: pass ``--data`` pointing to an .npz with arrays
+``{train,dev}_{input_ids,attention_mask,token_type_ids,labels}`` (tokenized
+GLUE, any task); otherwise a synthetic stand-in is generated (zero-egress).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from tqdm import tqdm
+
+import bayeformers_tpu as bf
+from bayeformers_tpu import training
+from bayeformers_tpu.models import bert as bert_lib
+from bayeformers_tpu.utils import checkpoint as ckpt_lib
+from bayeformers_tpu.utils.dumper import Dumper
+from bayeformers_tpu.utils.hypersearch import HyperSearch
+from bayeformers_tpu.utils.metrics import MetricsWriter, Report, run_name
+from bayeformers_tpu.utils.optim import masked_optimizer
+
+# Reference constants (`examples/bert_glue.py:77-88`)
+EPOCHS = 5
+SAMPLES = 10
+BATCH_SIZE = 8
+MAX_SEQ = 128
+LR = 2e-5
+ADAM_EPSILON = 1e-8
+CLIP_NORM = 1.0
+N_LABELS = 2  # MRPC
+
+
+def load_glue(data_path: str | None, vocab_size: int, seed: int = 0):
+    """Returns dicts train/dev of jnp arrays. Synthetic fallback keeps label
+    signal by planting a label-dependent token pattern."""
+    if data_path and os.path.exists(data_path):
+        z = np.load(data_path)
+        def split(prefix):
+            return {
+                "input_ids": jnp.asarray(z[f"{prefix}_input_ids"], jnp.int32),
+                "attention_mask": jnp.asarray(z[f"{prefix}_attention_mask"], jnp.int32),
+                "token_type_ids": jnp.asarray(z[f"{prefix}_token_type_ids"], jnp.int32),
+                "labels": jnp.asarray(z[f"{prefix}_labels"], jnp.int32),
+            }
+        return split("train"), split("dev"), False
+    rng = np.random.default_rng(seed)
+    def make(n):
+        ids = rng.integers(4, vocab_size, (n, MAX_SEQ))
+        labels = rng.integers(0, N_LABELS, (n,))
+        ids[:, 1] = 4 + labels * 7  # plantable signal token
+        return {
+            "input_ids": jnp.asarray(ids, jnp.int32),
+            "attention_mask": jnp.ones((n, MAX_SEQ), jnp.int32),
+            "token_type_ids": jnp.zeros((n, MAX_SEQ), jnp.int32),
+            "labels": jnp.asarray(labels, jnp.int32),
+        }
+    return make(512), make(128), True
+
+
+def batch_iter(data: dict, batch_size: int, seed: int | None = None):
+    n = data["labels"].shape[0]
+    idx = np.arange(n - n % batch_size)
+    if seed is not None:
+        np.random.default_rng(seed).shuffle(idx)
+    for start in range(0, len(idx), batch_size):
+        sel = idx[start : start + batch_size]
+        yield {k: v[sel] for k, v in data.items()}
+
+
+def train(
+    exp: str = "bert_glue",
+    model_name: str = "bert-base-uncased",
+    delta: float = 0.05,
+    weight_decay: float = 0.0,
+    *,
+    data: str | None = None,
+    logs: str = "logs",
+    epochs: int = EPOCHS,
+    b_epochs: int = EPOCHS,
+    samples: int = SAMPLES,
+    batch_size: int = BATCH_SIZE,
+    lr: float = LR,
+    size: str = "base",
+    pretrained: str | None = None,
+    seed: int = 0,
+    limit_batches: int | None = None,
+    fused: bool = True,
+    save_dir: str | None = None,
+) -> float:
+    name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
+    writer = MetricsWriter(logs, name)
+    dumper = Dumper(os.path.join(logs, name + ".results"))
+
+    bundle = bert_lib.build_bert(
+        task="classification", n_labels=N_LABELS, pretrained=pretrained, size=size,
+        seed=seed,
+    )
+    train_data, dev_data, synthetic = load_glue(data, bundle.config.vocab_size, seed)
+    if synthetic:
+        print("[bert_glue] no dataset found; using synthetic stand-in")
+    n_batches = len(train_data["labels"]) // batch_size
+    if limit_batches:
+        n_batches = min(n_batches, limit_batches)
+    input_keys = ("input_ids", "attention_mask", "token_type_ids")
+
+    # ---------------- Phase A: frequentist fine-tune -----------------------
+    params = bundle.params
+    total_steps = max(1, n_batches * epochs)
+    schedule = optax.linear_schedule(lr, 0.0, total_steps)
+    tx = training.adamw_with_decay_groups(
+        schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
+        clip_norm=CLIP_NORM,
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def f_step(params, opt_state, batch):
+        def loss_fn(p):
+            logits = bundle.apply_fn(p, **{k: batch[k] for k in input_keys})
+            return bf.elbo.cross_entropy_sum(logits, batch["labels"])
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def f_eval(params, batch):
+        logits = bundle.apply_fn(params, **{k: batch[k] for k in input_keys})
+        nll = bf.elbo.cross_entropy_sum(logits, batch["labels"])
+        acc = jnp.sum((jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32))
+        return nll, acc
+
+    def eval_frequentist(params):
+        report = Report("nll", "acc", "n")
+        for batch in batch_iter(dev_data, batch_size):
+            nll, acc = f_eval(params, batch)
+            report.update(nll=float(nll), acc=float(acc), n=len(batch["labels"]))
+        n = max(report.totals.pop("n"), 1)
+        return report.means(n)
+
+    with dumper.section("frequentist"):
+        for epoch in range(epochs):
+            pbar = tqdm(batch_iter(train_data, batch_size, seed=seed + epoch),
+                        total=n_batches, desc=f"freq {epoch}")
+            for i, batch in enumerate(pbar):
+                if limit_batches and i >= limit_batches:
+                    break
+                params, opt_state, loss = f_step(params, opt_state, batch)
+                pbar.set_postfix(loss=float(loss))
+            metrics = eval_frequentist(params)
+            writer.scalars("frequentist_test", metrics, epoch)
+            dumper.record(**{f"epoch_{epoch}_{k}": v for k, v in metrics.items()})
+            print(f"[freq {epoch}] nll={metrics['nll']:.4f} acc={metrics['acc']:.4f}")
+
+    # ---------------- Phase B: conversion ----------------------------------
+    bmodel, bparams = bf.to_bayesian(
+        bundle.apply_fn, params, delta=delta, freeze=True
+    )
+
+    eval_step = training.make_elbo_eval_step(
+        bmodel, samples, fused=fused, input_keys=input_keys
+    )
+
+    def eval_bayesian(bparams, key):
+        report = Report("nll", "acc", "acc_std", "log_prior",
+                        "log_variational_posterior", "n")
+        n_b = 0
+        for batch in batch_iter(dev_data, batch_size):
+            key, k = jax.random.split(key)
+            _, m = eval_step(bparams, k, batch)
+            bsz = len(batch["labels"])
+            report.update(
+                nll=float(m["nll"]), acc=float(m["acc"]) * bsz,
+                acc_std=float(m["acc_std"]) * bsz,
+                log_prior=float(m["log_prior"]),
+                log_variational_posterior=float(m["log_variational_posterior"]),
+                n=bsz,
+            )
+            n_b += 1
+        n = max(report.totals.pop("n"), 1)
+        means = report.means(n)
+        for tag in ("log_prior", "log_variational_posterior"):
+            means[tag] = means[tag] * n / max(n_b, 1)  # per-batch scalars
+        return means
+
+    # ---------------- Phase C: Bayesian eval -------------------------------
+    key = jax.random.key(seed + 1)
+    with dumper.section("bayesian_eval"):
+        key, k = jax.random.split(key)
+        metrics = eval_bayesian(bparams, k)
+        writer.scalars("bayesian_eval", metrics, 0)
+        dumper.record(**metrics)
+        print(f"[baye eval] acc={metrics['acc']:.4f} acc_std={metrics['acc_std']:.4f}")
+
+    # ---------------- Phase D: Bayesian ELBO fine-tune ---------------------
+    b_total = max(1, n_batches * b_epochs)
+    b_schedule = optax.linear_schedule(lr, 0.0, b_total)
+    base_tx = training.adamw_with_decay_groups(
+        b_schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
+        clip_norm=CLIP_NORM,
+    )
+    btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
+    b_opt_state = btx.init(bparams)
+    b_step = training.make_elbo_train_step(
+        bmodel, btx, samples, n_batches, fused=fused, input_keys=input_keys
+    )
+
+    with dumper.section("bayesian_train"):
+        for epoch in range(b_epochs):
+            pbar = tqdm(batch_iter(train_data, batch_size, seed=seed + 100 + epoch),
+                        total=n_batches, desc=f"baye {epoch}")
+            for i, batch in enumerate(pbar):
+                if limit_batches and i >= limit_batches:
+                    break
+                key, k = jax.random.split(key)
+                bparams, b_opt_state, m = b_step(bparams, b_opt_state, k, batch)
+                pbar.set_postfix(loss=float(m["loss"]), acc=float(m["acc"]))
+            key, k = jax.random.split(key)
+            metrics = eval_bayesian(bparams, k)
+            writer.scalars("bayesian_test", metrics, epoch)
+            dumper.record(**{f"epoch_{epoch}_{k2}": v for k2, v in metrics.items()})
+            print(f"[baye {epoch}] nll={metrics['nll']:.4f} acc={metrics['acc']:.4f} "
+                  f"acc_std={metrics['acc_std']:.4f}")
+
+    if save_dir:
+        ckpt_lib.save_checkpoint(
+            save_dir, bparams, step=b_epochs,
+            metadata={"delta": delta, "weight_decay": weight_decay, **metrics},
+        )
+    writer.close()
+    dumper.flush()
+    return float(metrics["acc"])
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Bayesian BERT on GLUE (TPU)")
+    parser.add_argument("--exp", default="bert_glue")
+    parser.add_argument("--model", default="bert-base-uncased")
+    parser.add_argument("--data", default=None, help=".npz of tokenized GLUE")
+    parser.add_argument("--pretrained", default=None,
+                        help="local HF checkpoint path (offline env)")
+    parser.add_argument("--size", default="base", choices=["base", "tiny"])
+    parser.add_argument("--logs", default="logs")
+    parser.add_argument("--epochs", type=int, default=EPOCHS)
+    parser.add_argument("--b-epochs", type=int, default=EPOCHS)
+    parser.add_argument("--samples", type=int, default=SAMPLES)
+    parser.add_argument("--batch-size", type=int, default=BATCH_SIZE)
+    parser.add_argument("--lr", type=float, default=LR)
+    parser.add_argument("--delta", type=float, default=0.05)
+    parser.add_argument("--weight-decay", type=float, default=0.0)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--limit-batches", type=int, default=None)
+    parser.add_argument("--no-fused", action="store_true")
+    parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--hypersearch", type=int, default=0,
+                        help="run N random-search trials over delta/weight_decay")
+    args = parser.parse_args()
+
+    kwargs = dict(
+        exp=args.exp, model_name=args.model, data=args.data, logs=args.logs,
+        epochs=args.epochs, b_epochs=args.b_epochs, samples=args.samples,
+        batch_size=args.batch_size, lr=args.lr, size=args.size,
+        pretrained=args.pretrained, seed=args.seed,
+        limit_batches=args.limit_batches, fused=not args.no_fused,
+        save_dir=args.save_dir,
+    )
+    t0 = time.time()
+    if args.hypersearch:
+        # reference driver: DELTA log-scale (1e-2, 1e-1), WEIGHT_DECAY linear
+        # (1e-3, 0), 10 iterations (`examples/bert_glue.py:324-331`)
+        hs = HyperSearch(seed=args.seed)
+        hs["delta"] = (1e-2, 1e-1), HyperSearch.LOG_SCALE
+        hs["weight_decay"] = (1e-6, 1e-3), HyperSearch.LINEAR_SCALE
+        best = hs.search(train, iterations=args.hypersearch, **kwargs)
+        print(f"best acc={best.value:.4f} with {best.hyperparameters}")
+    else:
+        acc = train(delta=args.delta, weight_decay=args.weight_decay, **kwargs)
+        print(f"final acc={acc:.4f}")
+    print(f"done in {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

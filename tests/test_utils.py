@@ -1,0 +1,185 @@
+"""Tests for the auxiliary subsystems: hypersearch, dumper, metrics, squad
+pipeline, checkpointing (SURVEY.md §5 — all gap-fills or fixed versions of
+broken reference components)."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import bayeformers_tpu as bf
+from bayeformers_tpu.utils import squad as squad_lib
+from bayeformers_tpu.utils.dumper import Dumper
+from bayeformers_tpu.utils.hypersearch import HyperSearch, Score
+from bayeformers_tpu.utils.metrics import MetricsWriter, Report, run_name
+
+
+# ---------------- hypersearch (reference C16) ------------------------------
+
+def test_hypersearch_finds_max():
+    hs = HyperSearch(seed=0)
+    hs["x"] = (0.0, 1.0), HyperSearch.LINEAR_SCALE
+    hs["y"] = (1e-3, 1e1), HyperSearch.LOG_SCALE
+    best = hs.search(lambda x, y: -((x - 0.5) ** 2) - (np.log10(y) ** 2),
+                     iterations=50)
+    assert abs(best.hyperparameters["x"] - 0.5) < 0.2
+    assert 0.1 < best.hyperparameters["y"] < 10
+
+
+def test_hypersearch_log_scale_range():
+    hs = HyperSearch(seed=1)
+    hs["delta"] = (1e-2, 1e-1), HyperSearch.LOG_SCALE
+    samples = [hs._sample()["delta"] for _ in range(100)]
+    assert all(1e-2 <= s <= 1e-1 for s in samples)
+    # log-uniform: ~half the draws below the geometric mean
+    below = sum(s < np.sqrt(1e-2 * 1e-1) for s in samples)
+    assert 25 < below < 75
+
+
+def test_hypersearch_isolates_failures():
+    calls = {"n": 0}
+
+    def sometimes_crashes(x):
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            raise RuntimeError("boom")
+        return x
+
+    hs = HyperSearch(seed=2)
+    hs["x"] = (0.0, 1.0), HyperSearch.LINEAR_SCALE
+    best = hs.search(sometimes_crashes, iterations=10)
+    assert best.value > -np.inf
+    with pytest.raises(RuntimeError):
+        calls["n"] = 1  # next call raises
+        hs.search(sometimes_crashes, iterations=1, on_error="raise")
+
+
+def test_score_tracks_max():
+    s = Score()
+    assert s.update(1.0, {"a": 1})
+    assert not s.update(0.5, {"a": 2})
+    assert s.value == 1.0 and s.hyperparameters == {"a": 1}
+
+
+# ---------------- dumper (reference C15 was broken) ------------------------
+
+def test_dumper_nested_sections(tmp_path):
+    d = Dumper(str(tmp_path / "run"))
+    with d.section("train"):
+        with d.section("epoch_0"):
+            d.record(loss=1.5, acc=0.8)
+        with d.section("epoch_1"):
+            d.record(loss=1.2)
+    with open(tmp_path / "run.json") as fh:
+        data = json.load(fh)
+    assert data["train"]["epoch_0"] == {"loss": 1.5, "acc": 0.8}
+    assert data["train"]["epoch_1"]["loss"] == 1.2
+
+
+# ---------------- metrics --------------------------------------------------
+
+def test_metrics_writer_and_report(tmp_path):
+    w = MetricsWriter(str(tmp_path), run_name("exp", delta=0.05))
+    w.scalars("train", {"nll": 1.0, "acc": 0.5}, step=3)
+    w.close()
+    lines = [json.loads(l) for l in open(w.path)]
+    assert {l["tag"] for l in lines} == {"train/nll", "train/acc"}
+    assert all(l["step"] == 3 for l in lines)
+
+    r = Report("a", "b")
+    r.update(a=2.0)
+    r.update(a=4.0, b=1.0)
+    assert r.means(2) == {"a": 3.0, "b": 0.5}
+
+
+# ---------------- squad pipeline -------------------------------------------
+
+def test_squad_normalization_and_metrics():
+    assert squad_lib.normalize_answer("The  Quick, Brown-Fox!") == "quick brownfox"
+    assert squad_lib.exact_match_score("the cat", "Cat") == 1.0
+    # note: articles are stripped by normalization, so use non-article tokens
+    assert squad_lib.f1_score("x y z", "y z w") == pytest.approx(2 / 3)
+    res = squad_lib.squad_evaluate(
+        {"q1": "the cat", "q2": "wrong"},
+        {"q1": ["cat"], "q2": ["right answer"]},
+    )
+    assert res["exact_match"] == 50.0
+    assert 0 < res["f1"] <= 50.0
+
+
+def test_windowize_doc_stride():
+    # short doc: one window
+    assert squad_lib.windowize(100, 384, 128) == [(0, 100)]
+    # long doc: overlapping windows advancing by stride, covering everything
+    wins = squad_lib.windowize(1000, 384, 128)
+    assert wins[0] == (0, 384)
+    assert all(b - a <= 384 for a, b in wins)
+    assert wins[-1][1] == 1000
+    starts = [a for a, _ in wins]
+    assert starts == list(range(0, starts[-1] + 1, 128))
+
+
+def test_featurize_span_mapping():
+    # toy whitespace tokenizer with a vocab
+    vocab = {}
+    def tokenize(text):
+        return [vocab.setdefault(tok, len(vocab) + 10) for tok in text.split()]
+
+    context = " ".join(f"w{i}" for i in range(50))
+    answer_start = len(" ".join(f"w{i}" for i in range(20))) + 1
+    examples = [{
+        "qid": "q0", "question": "what is it",
+        "context": context,
+        "answers": [{"text": "w20 w21", "answer_start": answer_start}],
+    }]
+    feats = squad_lib.featurize(examples, tokenize, max_seq=32, doc_stride=8)
+    assert len(feats) > 1  # long context: multiple windows
+    hits = [f for f in feats if f["start_position"] != 0]
+    assert hits, "at least one window contains the answer span"
+    f = hits[0]
+    ctx_tok = f["input_ids"][f["start_position"]: f["end_position"] + 1]
+    assert ctx_tok == tokenize("w20 w21")
+    # windows without the answer point at [CLS]
+    assert any(f["start_position"] == 0 for f in feats)
+
+
+def test_best_span():
+    start = np.zeros(20); end = np.zeros(20)
+    start[7] = 5.0; end[9] = 5.0
+    (s, e), score = squad_lib.best_span(start, end, context_offset=3)
+    assert (s, e) == (7, 9)
+    # end before start is never selected
+    start[:] = 0; end[:] = 0
+    start[10] = 5.0; end[4] = 5.0
+    (s, e), _ = squad_lib.best_span(start, end, context_offset=3)
+    assert e >= s
+
+
+# ---------------- checkpoint ------------------------------------------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from bayeformers_tpu.utils import checkpoint as ckpt_lib
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3)(x)
+
+    net = Tiny()
+    params = net.init(jax.random.key(0), jnp.ones((1, 4)))["params"]
+    apply_fn = lambda p, x: net.apply({"params": p}, x)
+    _, bp = bf.to_bayesian(apply_fn, params, delta=0.05)
+    path = ckpt_lib.save_checkpoint(
+        str(tmp_path / "ckpt"), bp, step=7, metadata={"delta": 0.05}
+    )
+    assert os.path.exists(path)
+    assert ckpt_lib.latest_step(str(tmp_path / "ckpt")) == 7
+    restored, meta = ckpt_lib.load_checkpoint(str(tmp_path / "ckpt"), bp, step=7)
+    np.testing.assert_array_equal(
+        np.asarray(restored.rho["Dense_0/kernel"]),
+        np.asarray(bp.rho["Dense_0/kernel"]),
+    )
+    assert meta == {"delta": 0.05}
