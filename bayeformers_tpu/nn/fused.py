@@ -82,6 +82,7 @@ def fused_mc_apply(
     n_samples: int,
     *args,
     convert_embeddings: bool = False,
+    save_weights: bool = True,
     **kwargs,
 ):
     """S-sample fused forward. Returns ``(outputs, aux)`` like
@@ -108,14 +109,17 @@ def fused_mc_apply(
         if spec.moped and spec.frozen:
             # mu is frozen at the pretrained weights == the prior center, so
             # the kernel can skip streaming a separate prior_mu array
-            y, lq, lp = ops_fused.bayes_linear(xs, mu, rho, seeds, prior_on_mu=True)
+            y, lq, lp = ops_fused.bayes_linear(
+                xs, mu, rho, seeds, prior_on_mu=True, save_weights=save_weights
+            )
         elif spec.moped:
             y, lq, lp = ops_fused.bayes_linear(
-                xs, mu, rho, seeds, prior_mu=bparams.prior_mu[kpath]
+                xs, mu, rho, seeds, prior_mu=bparams.prior_mu[kpath],
+                save_weights=save_weights,
             )
         else:
             y, lq, lp = ops_fused.bayes_linear(
-                xs, mu, rho, seeds, mixture=mixture
+                xs, mu, rho, seeds, mixture=mixture, save_weights=save_weights
             )
         if mod.use_bias:
             bpath = SEP.join(mod.path + ("bias",))

@@ -167,7 +167,8 @@ class BayesianModel:
         return jax.vmap(lambda k: self.apply(bparams, k, *args, **kwargs))(keys)
 
     def mc_apply_fused(
-        self, bparams: BayesParams, key: jax.Array, n_samples: int, *args, **kwargs
+        self, bparams: BayesParams, key: jax.Array, n_samples: int, *args,
+        save_weights: bool = True, **kwargs,
     ):
         """S MC forwards as ONE super-batched pass through the Pallas tier.
 
@@ -185,7 +186,8 @@ class BayesianModel:
         )
         return fused_lib.fused_mc_apply(
             self.apply_fn, self.spec, bparams, key, n_samples, *args,
-            convert_embeddings=convert_embeddings, **kwargs,
+            convert_embeddings=convert_embeddings, save_weights=save_weights,
+            **kwargs,
         )
 
     # -- trainability -------------------------------------------------------

@@ -61,6 +61,17 @@ def box_muller(bits1: jax.Array, bits2: jax.Array) -> jax.Array:
     return r * jnp.cos(TWO_PI * u2)
 
 
+def box_muller_pair(bits1: jax.Array, bits2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Both Box-Muller outputs (cos AND sin branch): two independent normal
+    tensors from two uniform tensors — half the PRNG draws and half the
+    log/sqrt work per generated normal vs the single-output form."""
+    u1 = uniform_from_bits(bits1)
+    u2 = uniform_from_bits(bits2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = TWO_PI * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
 # The canonical eps-generation unit for the full-K kernels: a fixed
 # (UNIT_K, UNIT_N) block independently seeded by its absolute grid position.
 # Small units keep the Box-Muller temporaries tiny in VMEM, and absolute
@@ -72,11 +83,17 @@ _UNIT_STRIDE = 1 << 16  # unit id = k_chunk * stride + col_strip (no collisions)
 
 
 def unit_eps(seed: jax.Array, col_strip, k_chunk) -> jax.Array:
-    """Standard-normal (UNIT_K, UNIT_N) block for absolute unit coords."""
+    """Standard-normal (UNIT_K, UNIT_N) block for absolute unit coords.
+
+    Uses both Box-Muller branches: draws bits for only half the block and
+    fills the two halves with the cos/sin outputs.
+    """
     pltpu.prng_seed(seed, k_chunk * _UNIT_STRIDE + col_strip)
-    bits1 = pltpu.prng_random_bits((UNIT_K, UNIT_N))
-    bits2 = pltpu.prng_random_bits((UNIT_K, UNIT_N))
-    return box_muller(bits1, bits2)
+    half = UNIT_K // 2
+    bits1 = pltpu.prng_random_bits((half, UNIT_N))
+    bits2 = pltpu.prng_random_bits((half, UNIT_N))
+    z0, z1 = box_muller_pair(bits1, bits2)
+    return jnp.concatenate([z0, z1], axis=0)
 
 
 def tile_eps(

@@ -94,7 +94,14 @@ def make_elbo_eval_step(
     input_keys: tuple[str, ...] = ("input_ids", "attention_mask", "token_type_ids"),
 ):
     """Returns jitted ``eval_step(bparams, key, batch) -> (out, metrics)``."""
-    mc = bmodel.mc_apply_fused if fused else bmodel.mc_apply
+    import functools
+
+    # eval never runs backward, so skip writing sampled weights to HBM
+    mc = (
+        functools.partial(bmodel.mc_apply_fused, save_weights=False)
+        if fused
+        else bmodel.mc_apply
+    )
 
     @jax.jit
     def eval_step(bparams: BayesParams, key, batch):
