@@ -108,6 +108,71 @@ def build_bert(
     return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=True)
 
 
+def build_distilbert(
+    task: str = "classification",
+    n_labels: int = 2,
+    pretrained: Optional[str] = None,
+    size: str = "base",
+    seed: int = 0,
+    dtype=jnp.float32,
+    **config_overrides,
+) -> ModelBundle:
+    """DistilBERT variant (the reference GLUE example supports
+    distilbert-base-uncased, `examples/bert_glue.py:318`). DistilBERT takes
+    no token_type_ids — ``uses_token_type_ids=False`` drives the input
+    pruning the reference applies per model family
+    (`examples/bert_squad.py:184-185`)."""
+    from transformers import (
+        DistilBertConfig,
+        FlaxDistilBertForQuestionAnswering,
+        FlaxDistilBertForSequenceClassification,
+    )
+
+    cls = (
+        FlaxDistilBertForSequenceClassification
+        if task == "classification"
+        else FlaxDistilBertForQuestionAnswering
+    )
+    if pretrained is not None:
+        model = cls.from_pretrained(pretrained, num_labels=n_labels, dtype=dtype)
+        config = model.config
+    else:
+        if size == "base":
+            kwargs = dict(vocab_size=30522, dim=768, n_layers=6, n_heads=12,
+                          hidden_dim=3072, max_position_embeddings=512)
+        else:
+            kwargs = dict(vocab_size=1024, dim=128, n_layers=2, n_heads=2,
+                          hidden_dim=256, max_position_embeddings=128)
+        kwargs.update(config_overrides)
+        config = DistilBertConfig(num_labels=n_labels, **kwargs)
+        model = cls(config, seed=seed, dtype=dtype)
+    params = model.params
+
+    def apply_fn(
+        p, input_ids, attention_mask=None, deterministic: bool = True,
+        rngs: Optional[dict] = None, **_ignored,
+    ):
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        out = model.module.apply(
+            {"params": p}, input_ids, attention_mask,
+            deterministic=deterministic, return_dict=False, rngs=rngs,
+        )
+        if task == "classification":
+            return out[0]
+        return out[0], out[1]
+
+    return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=False)
+
+
+def build_model(model_name: str, **kwargs) -> ModelBundle:
+    """Family dispatch by model name (mirrors the reference's AutoModel use
+    with its per-family input handling)."""
+    if "distilbert" in model_name.lower():
+        return build_distilbert(**kwargs)
+    return build_bert(**kwargs)
+
+
 def prune_inputs(bundle: ModelBundle, inputs: dict) -> dict:
     """Drop token_type_ids for model families that do not take them
     (reference `examples/bert_squad.py:184-185`)."""

@@ -99,6 +99,28 @@ def load_squad_json(path: str) -> list[dict]:
 # Doc-stride windowing + featurization
 # ---------------------------------------------------------------------------
 
+def tokenize_with_offsets(
+    text: str, tokenize: Callable[[str], list[int]]
+) -> tuple[list[int], list[tuple[int, int]]]:
+    """Token ids + per-token (char_start, char_end) spans.
+
+    Tokenizes whitespace-delimited words independently and assigns each
+    word's character span to all of its sub-word pieces — word-boundary
+    granularity, which is what SQuAD answers align to. Used to decode
+    predicted token spans back to answer text for EM/F1.
+    """
+    ids: list[int] = []
+    offsets: list[tuple[int, int]] = []
+    pos = 0
+    for word in text.split():
+        start = text.index(word, pos)
+        end = start + len(word)
+        pos = end
+        for tid in tokenize(word):
+            ids.append(tid)
+            offsets.append((start, end))
+    return ids, offsets
+
 def windowize(n_tokens: int, max_len: int, doc_stride: int) -> list[tuple[int, int]]:
     """(start, end) windows of at most ``max_len`` tokens covering
     ``n_tokens``, advancing by ``doc_stride`` (reference behavior: overlap
@@ -136,7 +158,7 @@ def featurize(
     features = []
     for ex in examples:
         q_ids = tokenize(ex["question"])
-        c_ids = tokenize(ex["context"])
+        c_ids, c_offsets = tokenize_with_offsets(ex["context"], tokenize)
         q_len = len(q_ids) + 2  # CLS + question + SEP
         window_len = max_seq - q_len - 1  # room for trailing SEP
         if window_len <= 0:
@@ -145,9 +167,13 @@ def featurize(
         tok_start = tok_end = None
         if is_training and ex["answers"]:
             ans = ex["answers"][0]
-            prefix = ex["context"][: ans["answer_start"]]
-            tok_start = len(tokenize(prefix))
-            tok_end = tok_start + max(len(tokenize(ans["text"])) - 1, 0)
+            a0 = ans["answer_start"]
+            a1 = a0 + len(ans["text"])
+            overlap = [
+                i for i, (cs, ce) in enumerate(c_offsets) if ce > a0 and cs < a1
+            ]
+            if overlap:
+                tok_start, tok_end = overlap[0], overlap[-1]
 
         for w_start, w_end in windowize(len(c_ids), window_len, doc_stride):
             ids = [cls_id] + q_ids + [sep_id] + c_ids[w_start:w_end] + [sep_id]
@@ -161,6 +187,9 @@ def featurize(
                 "token_type_ids": type_ids + [0] * pad,
                 "window_start": w_start,
                 "context_offset": q_len,
+                # char spans of this window's context tokens, for decoding
+                # predicted token spans back to answer text (EM/F1)
+                "offsets": c_offsets[w_start:w_end],
             }
             if is_training:
                 if (
@@ -194,3 +223,15 @@ def best_span(start_logits, end_logits, context_offset: int, max_answer_len: int
             best_score = score
             best = (s, s + e_rel)
     return best, float(best_score)
+
+
+def decode_span(feature: dict, context: str, s: int, e: int) -> str:
+    """Answer text for token span [s, e] (absolute positions incl. the
+    question prefix) using the feature's stored char offsets."""
+    off = feature["context_offset"]
+    offsets = feature["offsets"]
+    i0 = min(max(s - off, 0), len(offsets) - 1)
+    i1 = min(max(e - off, 0), len(offsets) - 1)
+    if not offsets:
+        return ""
+    return context[offsets[i0][0] : offsets[i1][1]]

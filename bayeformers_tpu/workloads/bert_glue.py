@@ -110,9 +110,9 @@ def train(
     writer = MetricsWriter(logs, name)
     dumper = Dumper(os.path.join(logs, name + ".results"))
 
-    bundle = bert_lib.build_bert(
-        task="classification", n_labels=N_LABELS, pretrained=pretrained, size=size,
-        seed=seed,
+    bundle = bert_lib.build_model(
+        model_name, task="classification", n_labels=N_LABELS,
+        pretrained=pretrained, size=size, seed=seed,
     )
     train_data, dev_data, synthetic = load_glue(data, bundle.config.vocab_size, seed)
     if synthetic:
@@ -120,7 +120,10 @@ def train(
     n_batches = len(train_data["labels"]) // batch_size
     if limit_batches:
         n_batches = min(n_batches, limit_batches)
-    input_keys = ("input_ids", "attention_mask", "token_type_ids")
+    # model-family input pruning (reference `bert_squad.py:184-185`)
+    input_keys = ("input_ids", "attention_mask") + (
+        ("token_type_ids",) if bundle.uses_token_type_ids else ()
+    )
 
     # ---------------- Phase A: frequentist fine-tune -----------------------
     params = bundle.params

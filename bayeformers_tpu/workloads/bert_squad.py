@@ -254,22 +254,26 @@ def train(
                 e_log = np.asarray(jnp.mean(e_log, 0))
                 for row in range(s_log.shape[0]):
                     feat = dev_feats[bi * batch_size + row]
-                    (s, e), _ = squad_lib.best_span(
+                    (s, e), score = squad_lib.best_span(
                         s_log[row], e_log[row], feat["context_offset"]
                     )
-                    predictions[feat["qid"]] = (s, e, feat)
+                    # keep the best-scoring window per question (doc-stride
+                    # windows of one long context compete here)
+                    prev = predictions.get(feat["qid"])
+                    if prev is None or score > prev[0]:
+                        predictions[feat["qid"]] = (score, s, e, feat)
         metrics = {}
         if has_labels:
             n = max(report.totals.pop("n"), 1)
             metrics = report.means(n)
         if predictions and dev_examples:
-            # decode spans back to text via the cached context tokens
+            contexts = {ex["qid"]: ex["context"] for ex in dev_examples}
             refs = {ex["qid"]: [a["text"] for a in ex["answers"]] or [""]
                     for ex in dev_examples}
-            texts = {}
-            ctx_tokens = {}
-            for qid, (s, e, feat) in predictions.items():
-                texts[qid] = f"span[{s}:{e}]"  # placeholder without detokenizer
+            texts = {
+                qid: squad_lib.decode_span(feat, contexts[qid], s, e)
+                for qid, (score, s, e, feat) in predictions.items()
+            }
             metrics.update(squad_lib.squad_evaluate(texts, refs))
         return metrics
 

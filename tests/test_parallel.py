@@ -103,3 +103,39 @@ def test_sharded_matches_single_device(tiny_bert):
     labels_s = mesh_lib.shard_batch(labels, mesh)
     loss_sharded = float(jax.jit(loss_fn)(bp_sharded, inputs, labels_s))
     np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-4)
+
+
+def test_shard_map_dp_matches_single_device(tiny_bert):
+    """shard_map DP step (the Pallas-tier scaling path) must reproduce the
+    single-device fused step: same loss, same updated params."""
+    import optax
+    from bayeformers_tpu import training
+    from bayeformers_tpu.parallel import train as ptrain
+    from bayeformers_tpu.utils.optim import masked_optimizer
+
+    _, bmodel, bp = tiny_bert
+    batch = bert_lib.synthetic_batch(np.random.default_rng(2), 16, 12, 1024, 2)
+    tx = masked_optimizer(optax.sgd(1e-3), bmodel.trainable_mask(bp))
+
+    # single-device fused step
+    single = training.make_elbo_train_step(bmodel, tx, 3, 10, fused=True)
+    bp1, _, m1 = single(bp, tx.init(bp), jax.random.key(9), batch)
+
+    # 8-way dp shard_map step
+    mesh = mesh_lib.make_mesh(8, 1)
+    mesh_dp = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    step = ptrain.make_dp_train_step(bmodel, tx, 3, 10, mesh_dp)
+    bp_rep = ptrain.replicate(bp, mesh_dp)
+    opt_rep = tx.init(bp_rep)
+    batch_sh = jax.tree.map(
+        lambda a: jax.device_put(
+            a, jax.sharding.NamedSharding(mesh_dp, jax.sharding.PartitionSpec("dp"))
+        ),
+        batch,
+    )
+    bp2, _, m2 = step(bp_rep, opt_rep, jax.random.key(9), batch_sh)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-5)
+    a = np.asarray(bp1.rho["bert/encoder/layer/0/attention/self/query/kernel"])
+    b = np.asarray(bp2.rho["bert/encoder/layer/0/attention/self/query/kernel"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)

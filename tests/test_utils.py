@@ -183,3 +183,55 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(bp.rho["Dense_0/kernel"]),
     )
     assert meta == {"delta": 0.05}
+
+
+def test_squad_end_to_end_decode():
+    """featurize -> best_span -> decode_span -> squad_evaluate == 100 when
+    logits point exactly at the gold span."""
+    vocab = {}
+    def tokenize(text):
+        return [vocab.setdefault(t, len(vocab) + 10) for t in text.split()]
+
+    context = " ".join(f"w{i}" for i in range(30))
+    ans_text = "w12 w13"
+    ans_start = context.index("w12")
+    examples = [{
+        "qid": "q1", "question": "where is it",
+        "context": context,
+        "answers": [{"text": ans_text, "answer_start": ans_start}],
+    }]
+    feats = squad_lib.featurize(examples, tokenize, max_seq=64, doc_stride=16)
+    assert len(feats) == 1
+    f = feats[0]
+    # training positions point at the right tokens
+    span_ids = f["input_ids"][f["start_position"]: f["end_position"] + 1]
+    assert span_ids == tokenize(ans_text)
+    # eval path: plant perfect logits at the gold span, decode text
+    n = len(f["input_ids"])
+    start = np.zeros(n); end = np.zeros(n)
+    start[f["start_position"]] = 9.0
+    end[f["end_position"]] = 9.0
+    (s, e), _ = squad_lib.best_span(start, end, f["context_offset"])
+    text = squad_lib.decode_span(f, context, s, e)
+    assert text == ans_text
+    res = squad_lib.squad_evaluate({"q1": text}, {"q1": [ans_text]})
+    assert res == {"exact_match": 100.0, "f1": 100.0}
+
+
+def test_tokenize_with_offsets():
+    def tokenize(text):
+        # toy sub-word tokenizer: splits words longer than 3 chars in two
+        out = []
+        for _ in range(1):
+            pass
+        w = text
+        if len(w) > 3:
+            return [hash(w[:3]) % 1000, hash(w[3:]) % 1000]
+        return [hash(w) % 1000]
+
+    text = "alpha bb gamma"
+    ids, offsets = squad_lib.tokenize_with_offsets(text, tokenize)
+    assert len(ids) == len(offsets) == 5  # alpha->2, bb->1, gamma->2
+    assert offsets[0] == (0, 5) and offsets[1] == (0, 5)
+    assert offsets[2] == (6, 8)
+    assert offsets[3] == (9, 14) and offsets[4] == (9, 14)
