@@ -1,0 +1,36 @@
+# Dataset bootstrap targets (parity with the reference Makefile's
+# squad-bootstrap, `/root/reference/Makefile:1-4`) plus MNIST and the BERT
+# vocab for the native tokenizer. Requires network access.
+
+DATASET := dataset
+
+squad-bootstrap:
+	mkdir -p $(DATASET)/squadv1
+	wget -nc -P $(DATASET)/squadv1 https://rajpurkar.github.io/SQuAD-explorer/dataset/train-v1.1.json
+	wget -nc -P $(DATASET)/squadv1 https://rajpurkar.github.io/SQuAD-explorer/dataset/dev-v1.1.json
+
+mnist-bootstrap:
+	mkdir -p $(DATASET)/mnist
+	for f in train-images-idx3-ubyte train-labels-idx1-ubyte t10k-images-idx3-ubyte t10k-labels-idx1-ubyte; do \
+		wget -nc -P $(DATASET)/mnist https://storage.googleapis.com/cvdf-datasets/mnist/$$f.gz; \
+	done
+
+vocab-bootstrap:
+	mkdir -p $(DATASET)
+	wget -nc -O $(DATASET)/bert-base-uncased-vocab.txt \
+		https://huggingface.co/bert-base-uncased/resolve/main/vocab.txt
+
+native:
+	g++ -O3 -std=c++17 -shared -fPIC -pthread \
+		bayeformers_tpu/native/wordpiece.cc -o bayeformers_tpu/native/libwordpiece.so
+
+test:
+	python -m pytest tests/ -q
+
+test-tpu:
+	BAYEFORMERS_TEST_TPU=1 python -m pytest tests/test_ops_tpu.py -q
+
+bench:
+	python bench.py
+
+.PHONY: squad-bootstrap mnist-bootstrap vocab-bootstrap native test test-tpu bench

@@ -105,6 +105,8 @@ def train(
     limit_batches: int | None = None,
     fused: bool = True,
     save_dir: str | None = None,
+    resume: bool = False,
+    profile_dir: str | None = None,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
     writer = MetricsWriter(logs, name)
@@ -178,6 +180,16 @@ def train(
         bundle.apply_fn, params, delta=delta, freeze=True
     )
 
+    # checkpoint resume (gap-fill over the reference's save-only flow,
+    # SURVEY.md §5): continue the Bayesian phase from the latest step
+    start_epoch = 0
+    if resume and save_dir:
+        step_n = ckpt_lib.latest_step(save_dir)
+        if step_n is not None:
+            bparams, meta = ckpt_lib.load_checkpoint(save_dir, bparams, step=step_n)
+            start_epoch = int(step_n)
+            print(f"[bert_glue] resumed from {save_dir} step {step_n}")
+
     eval_step = training.make_elbo_eval_step(
         bmodel, samples, fused=fused, input_keys=input_keys
     )
@@ -226,8 +238,10 @@ def train(
         bmodel, btx, samples, n_batches, fused=fused, input_keys=input_keys
     )
 
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     with dumper.section("bayesian_train"):
-        for epoch in range(b_epochs):
+        for epoch in range(start_epoch, b_epochs):
             pbar = tqdm(batch_iter(train_data, batch_size, seed=seed + 100 + epoch),
                         total=n_batches, desc=f"baye {epoch}")
             for i, batch in enumerate(pbar):
@@ -242,12 +256,19 @@ def train(
             dumper.record(**{f"epoch_{epoch}_{k2}": v for k2, v in metrics.items()})
             print(f"[baye {epoch}] nll={metrics['nll']:.4f} acc={metrics['acc']:.4f} "
                   f"acc_std={metrics['acc_std']:.4f}")
+            if save_dir:
+                ckpt_lib.save_checkpoint(
+                    save_dir, bparams, step=epoch + 1,
+                    metadata={"delta": delta, "weight_decay": weight_decay,
+                              **metrics},
+                )
+    if profile_dir:
+        jax.profiler.stop_trace()
 
-    if save_dir:
-        ckpt_lib.save_checkpoint(
-            save_dir, bparams, step=b_epochs,
-            metadata={"delta": delta, "weight_decay": weight_decay, **metrics},
-        )
+    if save_dir and b_epochs == start_epoch:
+        # resumed past the end: still report the restored metrics
+        key, k = jax.random.split(key)
+        metrics = eval_bayesian(bparams, k)
     writer.close()
     dumper.flush()
     return float(metrics["acc"])
@@ -273,6 +294,10 @@ def main():
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--no-fused", action="store_true")
     parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue the Bayesian phase from --save-dir")
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax profiler trace of the Bayesian phase")
     parser.add_argument("--hypersearch", type=int, default=0,
                         help="run N random-search trials over delta/weight_decay")
     args = parser.parse_args()
@@ -283,7 +308,8 @@ def main():
         batch_size=args.batch_size, lr=args.lr, size=args.size,
         pretrained=args.pretrained, seed=args.seed,
         limit_batches=args.limit_batches, fused=not args.no_fused,
-        save_dir=args.save_dir,
+        save_dir=args.save_dir, resume=args.resume,
+        profile_dir=args.profile_dir,
     )
     t0 = time.time()
     if args.hypersearch:
