@@ -23,7 +23,7 @@ RNGs for the MC loop.
 """
 from __future__ import annotations
 
-from typing import Optional
+
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ elementwise-local under tp.
 from __future__ import annotations
 
 import re
-from typing import Optional
+
 
 import jax
 import numpy as np

@@ -19,12 +19,12 @@ import functools
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
+
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 import bayeformers_tpu.elbo as elbo
-from bayeformers_tpu.nn.surgery import BayesianModel, BayesParams
+from bayeformers_tpu.nn.surgery import BayesianModel
 from bayeformers_tpu.training import classification_loss
 
 
