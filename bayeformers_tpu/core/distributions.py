@@ -76,6 +76,21 @@ def scale_mixture_log_prob(
     return jnp.sum(jnp.logaddexp(math.log(pi) + lp1, math.log1p(-pi) + lp2))
 
 
+def gaussian_kl(
+    mu_q: jax.Array, sigma_q: jax.Array, mu_p: jax.Array, sigma_p
+) -> jax.Array:
+    """Closed-form KL(q || p) between diagonal Gaussians, summed.
+
+    Used by the flipout estimator (weights are never sampled as a single
+    draw there, so the MC log-prob difference is replaced by the analytic
+    KL — the algorithmically exact value the reference's detached
+    ``log_q - log_p`` approximates in expectation).
+    """
+    var_ratio = (sigma_q / sigma_p) ** 2
+    delta = (mu_q - mu_p) / sigma_p
+    return 0.5 * jnp.sum(var_ratio + delta * delta - 1.0 - jnp.log(var_ratio))
+
+
 def sample_gaussian(
     key: jax.Array, mu: jax.Array, rho: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

@@ -74,3 +74,33 @@ def accuracy_and_std(logits: jax.Array, labels: jax.Array) -> tuple[jax.Array, j
 def aux_scalars(aux: dict[str, Any]) -> tuple[jax.Array, jax.Array]:
     """Pull (log_prior, log_q) out of a BayesianModel aux dict."""
     return aux["log_prior"], aux["log_variational_posterior"]
+
+
+def predictive(bmodel, bparams, key: jax.Array, n_samples: int, *args,
+               fused: bool = True, **kwargs):
+    """Posterior-predictive summary for a classifier.
+
+    Runs S stochastic forwards and returns a dict with:
+
+    - ``probs``: mean softmax probabilities over MC draws (B, C);
+    - ``epistemic_std``: per-class std of probabilities across draws — the
+      model-uncertainty signal MOPED-style BNNs are used for (the reference
+      surfaces the cruder ``acc_std``, `examples/bert_glue.py:186`);
+    - ``entropy``: predictive entropy of the mean distribution (B,);
+    - ``logits``: the raw (S, B, C) logits for custom analyses.
+    """
+    if fused:
+        logits, _ = bmodel.mc_apply_fused(
+            bparams, key, n_samples, *args, save_weights=False, **kwargs
+        )
+    else:
+        logits, _ = bmodel.mc_apply(bparams, key, n_samples, *args, **kwargs)
+    probs_s = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.mean(probs_s, axis=0)
+    entropy = -jnp.sum(probs * jnp.log(jnp.clip(probs, 1e-12)), axis=-1)
+    return {
+        "probs": probs,
+        "epistemic_std": jnp.std(probs_s, axis=0),
+        "entropy": entropy,
+        "logits": logits,
+    }

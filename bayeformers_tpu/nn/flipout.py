@@ -1,0 +1,140 @@
+"""Flipout estimator (Wen et al. 2018, arXiv:1803.04386) — an extension
+beyond the reference's capabilities.
+
+Bayes-by-Backprop shares one weight draw across the whole batch, so the
+gradient estimator's variance shrinks only with the number of MC samples S
+(the reference runs S=10 full forwards per step). Flipout decorrelates the
+perturbation *per example* using rank-1 Rademacher sign flips around a shared
+Gaussian draw:
+
+    y_b = x_b @ mu + ((x_b * r_b) @ (sigma * eps)) * s_b,   r_b, s_b ~ ±1
+
+Each example sees a pseudo-independent weight perturbation with the exact
+same marginal distribution, so a single forward already averages ~B
+quasi-samples — in practice S=1 flipout matches S~10 BBB gradient noise at a
+fraction of the cost (two shared-weight dense matmuls per layer, fully
+MXU-friendly, no per-sample weight materialization at all).
+
+The ELBO's KL term is computed ANALYTICALLY here (`core/distributions.
+gaussian_kl`) for Gaussian/MOPED priors — there is no single sampled weight
+to score. For the scale-mixture prior (no closed form) an MC estimate at the
+shared draw is used.
+
+Implemented, like the fused tier, as a `flax.linen.intercept_methods` pass
+over any linen model (nn/fused.py conventions: S-major tiling, converted
+paths from the surgery spec).
+"""
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bayeformers_tpu.core import distributions as dist
+from bayeformers_tpu.core import prior as prior_lib
+from bayeformers_tpu.nn.fused import SEP, tile_samples, untile_samples
+
+
+def _rademacher(key, shape):
+    return jax.random.rademacher(key, shape, jnp.float32)
+
+
+def flipout_mc_apply(
+    apply_fn,
+    spec,
+    bparams,
+    key: jax.Array,
+    n_samples: int,
+    *args,
+    **kwargs,
+):
+    """S flipout forwards as one super-batched pass.
+
+    Returns ``(outputs (S, B, ...), aux)`` with aux:
+    - ``kl``: scalar analytic KL(q||prior) summed over converted leaves
+      (MC-estimated for the mixture prior);
+    - ``log_prior`` / ``log_variational_posterior``: ``(-kl, 0)`` shaped (S,)
+      so existing ELBO plumbing (`elbo.elbo_loss`) works unchanged.
+    """
+    S = n_samples
+    paths = spec.paths
+    path_index = {p: i for i, p in enumerate(paths)}
+    mixture = (spec.prior.pi, spec.prior.sigma1, spec.prior.sigma2)
+    kl_terms: list[jax.Array] = []
+    seen: set[str] = set()
+
+    def layer_key(i: int) -> jax.Array:
+        return jax.random.fold_in(key, i)
+
+    def leaf_kl(path: str, mu, sigma, k):
+        if spec.moped:
+            pm = bparams.prior_mu[path]
+            return dist.gaussian_kl(mu, sigma, pm, prior_lib.MOPED_PRIOR_SIGMA)
+        # mixture prior: no closed form; one-draw MC estimate of
+        # E_q[log q - log p] at w = mu + sigma*eps
+        eps = jax.random.normal(jax.random.fold_in(k, 1), mu.shape, mu.dtype)
+        w = mu + sigma * eps
+        log_q = dist.gaussian_log_prob_from_eps(eps, sigma)
+        log_p = dist.scale_mixture_log_prob(w, *mixture)
+        return log_q - log_p
+
+    def handle_dense(mod, x):
+        kpath = SEP.join(mod.path + ("kernel",))
+        mu = mod.variables["params"]["kernel"]
+        rho = bparams.rho[kpath]
+        sigma = dist.sigma_from_rho(rho)
+        k = layer_key(path_index[kpath])
+        lead, K = x.shape[:-1], x.shape[-1]
+        N = mu.shape[1]
+        xs = x.reshape(S, -1, K)
+        M = xs.shape[1]
+
+        eps = jax.random.normal(jax.random.fold_in(k, 0), (S, K, N), mu.dtype)
+        r = _rademacher(jax.random.fold_in(k, 2), (S, M, K))
+        s_out = _rademacher(jax.random.fold_in(k, 3), (S, M, N))
+        y = xs @ mu + jnp.einsum("smk,skn->smn", xs * r, sigma[None] * eps) * s_out
+
+        if kpath not in seen:
+            seen.add(kpath)
+            kl_terms.append(leaf_kl(kpath, mu, sigma, k))
+
+        if mod.use_bias:
+            bpath = SEP.join(mod.path + ("bias",))
+            bmu = mod.variables["params"]["bias"]
+            brho = bparams.rho[bpath]
+            bsig = dist.sigma_from_rho(brho)
+            beps = jax.random.normal(
+                jax.random.fold_in(k, 4), (S,) + bmu.shape, bmu.dtype
+            )
+            bs = _rademacher(jax.random.fold_in(k, 5), (S, M, bmu.shape[0]))
+            y = y + bmu[None, None, :] + (bsig[None] * beps)[:, None, :] * bs
+            if bpath not in seen:
+                seen.add(bpath)
+                kl_terms.append(leaf_kl(bpath, bmu, bsig, jax.random.fold_in(k, 6)))
+        return y.reshape(lead + (N,))
+
+    def interceptor(next_fun, f_args, f_kwargs, context):
+        mod = context.module
+        if (
+            context.method_name == "__call__"
+            and isinstance(mod, nn.Dense)
+            and SEP.join(mod.path + ("kernel",)) in bparams.rho
+        ):
+            return handle_dense(mod, f_args[0])
+        return next_fun(*f_args, **f_kwargs)
+
+    tiled_args = tile_samples(args, S)
+    tiled_kwargs = tile_samples(kwargs, S)
+    with nn.intercept_methods(interceptor):
+        out = apply_fn(bparams.params, *tiled_args, **tiled_kwargs)
+    if not kl_terms:
+        raise ValueError("flipout_mc_apply intercepted no converted layers")
+    kl = sum(kl_terms)
+    aux = {
+        "kl": kl,
+        "log_prior": jnp.broadcast_to(-kl, (S,)),
+        "log_variational_posterior": jnp.zeros((S,), jnp.float32),
+    }
+    return untile_samples(out, S), aux

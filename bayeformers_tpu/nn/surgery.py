@@ -190,6 +190,18 @@ class BayesianModel:
             **kwargs,
         )
 
+    def mc_apply_flipout(
+        self, bparams: BayesParams, key: jax.Array, n_samples: int, *args, **kwargs
+    ):
+        """Flipout estimator (extension; see nn/flipout.py): per-example
+        decorrelated perturbations with shared weight draws + analytic KL.
+        Same return contract as :meth:`mc_apply`."""
+        from bayeformers_tpu.nn import flipout as flipout_lib
+
+        return flipout_lib.flipout_mc_apply(
+            self.apply_fn, self.spec, bparams, key, n_samples, *args, **kwargs
+        )
+
     # -- trainability -------------------------------------------------------
     def trainable_mask(self, bparams: BayesParams) -> BayesParams:
         """Bool pytree for optax.masked: False = do not train.

@@ -62,10 +62,10 @@ def _pick_bn_bm(
     [, prior_mu]) double-buffered at (Kp, BN), the W scratch, the
     double-buffered x block, the output block, and ~1MB of eps-unit temps.
     """
-    bm_cap = min(512, common.round_up(m, 8))
+    bm_cap = min(1024, common.round_up(m, 8))
     best = None
     best_cost = None
-    for bm in (512, 256, 128, 64, 32, 16, 8):
+    for bm in (1024, 512, 256, 128, 64, 32, 16, 8):
         if bm > bm_cap:
             continue
         for bn in (512, 256, 128):

@@ -44,15 +44,19 @@ def timeit(fn, *args, n=N_ITER, warmup=N_WARMUP):
     return (time.perf_counter() - t0) / n
 
 
-def make_step(bmodel, bparams, fused: bool):
+def make_step(bmodel, bparams, mode: str, n_samples: int = S):
     tx = masked_optimizer(optax.adamw(2e-5), bmodel.trainable_mask(bparams))
     opt_state = tx.init(bparams)
 
     @jax.jit
     def step(bparams, opt_state, key, inputs, labels):
         def loss_fn(bparams):
-            mc = bmodel.mc_apply_fused if fused else bmodel.mc_apply
-            out, aux = mc(bparams, key, S, **inputs)
+            mc = {
+                "fused": bmodel.mc_apply_fused,
+                "naive": bmodel.mc_apply,
+                "flipout": bmodel.mc_apply_flipout,
+            }[mode]
+            out, aux = mc(bparams, key, n_samples, **inputs)
             nll = bf.elbo.cross_entropy_sum(bf.elbo.mc_logits_mean(out), labels)
             return bf.elbo.elbo_loss(
                 nll, aux["log_prior"], aux["log_variational_posterior"], 100
@@ -65,8 +69,8 @@ def make_step(bmodel, bparams, fused: bool):
     return step, opt_state
 
 
-def bench_train(bmodel, bparams, inputs, labels, fused: bool):
-    step, opt_state = make_step(bmodel, bparams, fused)
+def bench_train(bmodel, bparams, inputs, labels, mode: str, n_samples: int = S):
+    step, opt_state = make_step(bmodel, bparams, mode, n_samples)
     key = jax.random.key(0)
 
     def run():
@@ -123,8 +127,11 @@ def main():
     inputs = batch
 
     ratio, t_s, t_d = bench_matmul_ratio()
-    t_fused = bench_train(bmodel, bparams, inputs, labels, fused=True)
-    t_naive = bench_train(bmodel, bparams, inputs, labels, fused=False)
+    t_fused = bench_train(bmodel, bparams, inputs, labels, "fused")
+    t_naive = bench_train(bmodel, bparams, inputs, labels, "naive")
+    # extension estimator: flipout at S=1 (per-example decorrelated
+    # perturbations make one pass worth ~B quasi-samples; see PERF.md)
+    t_flip = bench_train(bmodel, bparams, inputs, labels, "flipout", n_samples=1)
 
     result = {
         "metric": "bert_base_glue_mc10_elbo_steps_per_sec",
@@ -136,6 +143,7 @@ def main():
             "naive_steps_per_sec": round(1.0 / t_naive, 4),
             "fused_step_ms": round(t_fused * 1e3, 2),
             "naive_step_ms": round(t_naive * 1e3, 2),
+            "flipout_s1_step_ms": round(t_flip * 1e3, 2),
             "sampled_vs_dense_matmul_ratio": round(ratio, 4),
             "sampled_matmul_ms": round(t_s * 1e3, 3),
             "dense_matmul_ms": round(t_d * 1e3, 3),
