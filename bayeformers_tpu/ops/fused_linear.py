@@ -137,19 +137,20 @@ def _kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref, rho_ref, *rest
                     mask = (r_idx < k_act) & (c_idx < n_act)
                 zero = jnp.zeros_like(w)
 
-                logq_terms = -LOG_SQRT_2PI - jnp.log(sigma) - 0.5 * eps * eps
+                # The kernel accumulates ONLY the eps-dependent parts of the
+                # log-probs; the sample-independent constants (n*log sqrt(2pi),
+                # sum(log sigma), n*log sigma_p) are added once per step in
+                # XLA by the host wrapper — that removes a per-element
+                # transcendental (log sigma) from the per-sample hot loop.
+                logq_terms = -0.5 * eps * eps
                 if prior[0] == "gaussian":
                     z = (w - pmu_ref[rows, cols]) / MOPED_PRIOR_SIGMA
-                    logp_terms = (
-                        -LOG_SQRT_2PI - math.log(MOPED_PRIOR_SIGMA) - 0.5 * z * z
-                    )
+                    logp_terms = -0.5 * z * z
                 elif prior[0] == "gaussian_on_mu":
                     # frozen-MOPED fast path: prior centered on mu itself, so
                     # w - prior_mu = sigma*eps; no third weight array needed
                     z = sigma * eps / MOPED_PRIOR_SIGMA
-                    logp_terms = (
-                        -LOG_SQRT_2PI - math.log(MOPED_PRIOR_SIGMA) - 0.5 * z * z
-                    )
+                    logp_terms = -0.5 * z * z
                 else:
                     _, pi, s1, s2 = prior
                     lp1 = -LOG_SQRT_2PI - math.log(s1) - 0.5 * (w / s1) ** 2
@@ -253,6 +254,11 @@ def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
         ),
     )(*inputs)
     y, logq, logp = outs[0][:, :M, :N], outs[1][:, 0], outs[2][:, 0]
+    # add the sample-independent log-prob constants (see kernel comment)
+    n_elems = K * N
+    logq = logq - jnp.sum(jnp.log(jax.nn.softplus(rho))) - n_elems * LOG_SQRT_2PI
+    if prior[0] in ("gaussian", "gaussian_on_mu"):
+        logp = logp - n_elems * (LOG_SQRT_2PI + math.log(MOPED_PRIOR_SIGMA))
     if save_w:
         return y, logq, logp, outs[3][:, :K, :N]
     return y, logq, logp

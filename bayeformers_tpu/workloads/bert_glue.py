@@ -49,10 +49,15 @@ CLIP_NORM = 1.0
 N_LABELS = 2  # MRPC
 
 
-def load_glue(data_path: str | None, vocab_size: int, seed: int = 0):
-    """Returns dicts train/dev of jnp arrays. Synthetic fallback keeps label
-    signal by planting a label-dependent token pattern."""
-    if data_path and os.path.exists(data_path):
+def load_glue(data_path: str | None, vocab_size: int, seed: int = 0,
+              task: str = "mrpc", vocab: str | None = None):
+    """Returns dicts train/dev of jnp arrays.
+
+    Resolution order: (1) a pre-tokenized .npz; (2) a GLUE task directory of
+    raw TSVs + a local vocab.txt, featurized via the native WordPiece
+    tokenizer (utils/glue.py — no HF datasets dependency); (3) a synthetic
+    stand-in that keeps label signal by planting a label-dependent token."""
+    if data_path and os.path.isfile(data_path):
         z = np.load(data_path)
         def split(prefix):
             return {
@@ -62,6 +67,20 @@ def load_glue(data_path: str | None, vocab_size: int, seed: int = 0):
                 "labels": jnp.asarray(z[f"{prefix}_labels"], jnp.int32),
             }
         return split("train"), split("dev"), False
+    if (
+        data_path and os.path.isdir(data_path)
+        and os.path.exists(os.path.join(data_path, "train.tsv"))
+        and vocab and os.path.exists(vocab)
+    ):
+        from bayeformers_tpu.native import WordPieceTokenizer
+        from bayeformers_tpu.utils import glue as glue_lib
+
+        tok = WordPieceTokenizer(vocab)
+        train, dev = glue_lib.load_glue_task(
+            data_path, task, tok.tokenize, max_seq=MAX_SEQ
+        )
+        as_jnp = lambda d: {k: jnp.asarray(v) for k, v in d.items()}
+        return as_jnp(train), as_jnp(dev), False
     rng = np.random.default_rng(seed)
     def make(n):
         ids = rng.integers(4, vocab_size, (n, MAX_SEQ))
@@ -93,6 +112,8 @@ def train(
     weight_decay: float = 0.0,
     *,
     data: str | None = None,
+    task: str = "mrpc",
+    vocab: str | None = None,
     logs: str = "logs",
     epochs: int = EPOCHS,
     b_epochs: int = EPOCHS,
@@ -116,7 +137,9 @@ def train(
         model_name, task="classification", n_labels=N_LABELS,
         pretrained=pretrained, size=size, seed=seed,
     )
-    train_data, dev_data, synthetic = load_glue(data, bundle.config.vocab_size, seed)
+    train_data, dev_data, synthetic = load_glue(
+        data, bundle.config.vocab_size, seed, task=task, vocab=vocab
+    )
     if synthetic:
         print("[bert_glue] no dataset found; using synthetic stand-in")
     n_batches = len(train_data["labels"]) // batch_size
@@ -278,7 +301,12 @@ def main():
     parser = argparse.ArgumentParser(description="Bayesian BERT on GLUE (TPU)")
     parser.add_argument("--exp", default="bert_glue")
     parser.add_argument("--model", default="bert-base-uncased")
-    parser.add_argument("--data", default=None, help=".npz of tokenized GLUE")
+    parser.add_argument("--data", default=None,
+                        help=".npz of tokenized GLUE, or a task dir of raw TSVs")
+    parser.add_argument("--task", default="mrpc",
+                        help="GLUE task name for raw-TSV featurization")
+    parser.add_argument("--vocab", default=None,
+                        help="vocab.txt for the native tokenizer (raw TSVs)")
     parser.add_argument("--pretrained", default=None,
                         help="local HF checkpoint path (offline env)")
     parser.add_argument("--size", default="base", choices=["base", "tiny"])
@@ -303,7 +331,8 @@ def main():
     args = parser.parse_args()
 
     kwargs = dict(
-        exp=args.exp, model_name=args.model, data=args.data, logs=args.logs,
+        exp=args.exp, model_name=args.model, data=args.data, task=args.task,
+        vocab=args.vocab, logs=args.logs,
         epochs=args.epochs, b_epochs=args.b_epochs, samples=args.samples,
         batch_size=args.batch_size, lr=args.lr, size=args.size,
         pretrained=args.pretrained, seed=args.seed,

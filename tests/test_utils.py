@@ -235,3 +235,48 @@ def test_tokenize_with_offsets():
     assert offsets[0] == (0, 5) and offsets[1] == (0, 5)
     assert offsets[2] == (6, 8)
     assert offsets[3] == (9, 14) and offsets[4] == (9, 14)
+
+
+def test_glue_tsv_featurization(tmp_path):
+    """Raw MRPC-style TSV -> model arrays via utils/glue.py."""
+    from bayeformers_tpu.utils import glue as glue_lib
+
+    rows = ["label\tid1\tid2\ts1\ts2"]
+    for i in range(6):
+        rows.append(f"{i % 2}\ta{i}\tb{i}\thello world {i}\tgood day {i}")
+    (tmp_path / "train.tsv").write_text("\n".join(rows))
+    (tmp_path / "dev.tsv").write_text("\n".join(rows[:4]))
+
+    vocab = {}
+    def tokenize(text):
+        return [vocab.setdefault(t, len(vocab) + 10) for t in text.split()]
+
+    train, dev = glue_lib.load_glue_task(
+        str(tmp_path), "mrpc", tokenize, max_seq=16
+    )
+    assert train["input_ids"].shape == (6, 16)
+    assert dev["labels"].tolist() == [0, 1, 0]
+    row = train["input_ids"][0]
+    assert row[0] == 101  # [CLS]
+    sep_positions = np.where(row == 102)[0]
+    assert len(sep_positions) == 2  # pair: two [SEP]s
+    # token types flip to 1 after the first [SEP]
+    assert train["token_type_ids"][0][sep_positions[0] + 1] == 1
+    assert train["token_type_ids"][0][1] == 0
+    # cache round-trips
+    train2, _ = glue_lib.load_glue_task(str(tmp_path), "mrpc", tokenize, max_seq=16)
+    np.testing.assert_array_equal(train["input_ids"], train2["input_ids"])
+
+
+def test_glue_truncation():
+    from bayeformers_tpu.utils import glue as glue_lib
+
+    def tokenize(text):
+        return list(range(20, 20 + len(text.split())))
+
+    long_a = " ".join(["w"] * 30)
+    out = glue_lib.featurize_pairs(
+        [(long_a, long_a)], [1], tokenize, max_seq=24
+    )
+    assert out["input_ids"].shape == (1, 24)
+    assert out["attention_mask"][0].sum() == 24  # filled to the brim

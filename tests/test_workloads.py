@@ -1,0 +1,44 @@
+"""End-to-end workload smoke tests (tiny configs, synthetic data, CPU).
+
+The reference's examples are its de-facto integration tests (SURVEY.md §4);
+here they are actual tests: each workload must run its full phase sequence
+and return sane metrics.
+"""
+import numpy as np
+import pytest
+
+from bayeformers_tpu.workloads import mlp_mnist
+
+
+def test_mlp_mnist_workload(tmp_path):
+    results = mlp_mnist.train(
+        data_dir=str(tmp_path / "nodata"),  # forces the synthetic fallback
+        logs=str(tmp_path / "logs"),
+        epochs=1, b_epochs=1, samples=3, batch_size=32,
+        limit_batches=6, seed=0,
+    )
+    assert set(results) == {"freq_acc", "moped_acc", "bayesian_acc", "acc_std"}
+    for v in results.values():
+        assert np.isfinite(v)
+    # MOPED conversion must not destroy the frequentist model's accuracy
+    assert results["moped_acc"] >= results["freq_acc"] - 0.15
+    # artifacts written
+    logs = list((tmp_path / "logs").iterdir())
+    assert any(p.suffix == ".jsonl" for p in logs)
+    assert any(p.name.endswith(".results.json") for p in logs)
+
+
+@pytest.mark.slow
+def test_bert_glue_workload_tiny(tmp_path):
+    from bayeformers_tpu.workloads import bert_glue
+
+    acc = bert_glue.train(
+        exp="t", model_name="bert", delta=0.05, weight_decay=1e-4,
+        logs=str(tmp_path / "logs"), epochs=1, b_epochs=1, samples=2,
+        batch_size=4, size="tiny", limit_batches=3, seed=0,
+        save_dir=str(tmp_path / "ckpt"),
+    )
+    assert 0.0 <= acc <= 1.0
+    # checkpoint written and resumable
+    from bayeformers_tpu.utils import checkpoint as ckpt_lib
+    assert ckpt_lib.latest_step(str(tmp_path / "ckpt")) == 1
