@@ -48,13 +48,19 @@ def mc_logits_mean(logits: jax.Array) -> jax.Array:
 
 
 def nll_sum_from_log_probs(log_probs: jax.Array, labels: jax.Array) -> jax.Array:
-    """Sum-reduced NLL over log-probabilities (torch ``NLLLoss(sum)`` parity)."""
+    """Sum-reduced NLL over log-probabilities (torch ``NLLLoss(sum)`` parity).
+
+    Always reduced in float32 so bf16-activation models keep a stable loss.
+    """
+    log_probs = log_probs.astype(jnp.float32)
     return -jnp.sum(jnp.take_along_axis(log_probs, labels[:, None], axis=-1))
 
 
 def cross_entropy_sum(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Sum-reduced softmax cross entropy (torch ``CrossEntropyLoss(sum)`` parity)."""
-    return nll_sum_from_log_probs(jax.nn.log_softmax(logits, axis=-1), labels)
+    return nll_sum_from_log_probs(
+        jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), labels
+    )
 
 
 def accuracy_and_std(logits: jax.Array, labels: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -129,7 +129,7 @@ def fused_mc_apply(
             beps = jax.random.normal(bkey, (S,) + bmu.shape, bmu.dtype)
             bsig = dist.sigma_from_rho(brho)
             b = bmu[None] + bsig[None] * beps
-            y = y + b[:, None, :]
+            y = y + b[:, None, :].astype(y.dtype)  # keep bf16 activations bf16
             lq_b, lp_b = _bias_logprobs(
                 b, bmu, bsig, beps,
                 bparams.prior_mu.get(bpath) if spec.moped else None, mixture,
@@ -147,6 +147,7 @@ def fused_mc_apply(
         lead = ids.shape
         ids_s = ids.reshape(S, -1)
         out = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(tables, ids_s)
+        out = out.astype(getattr(mod, "dtype", None) or out.dtype)
         if spec.moped:
             lq, lp = ops_logprob.sampled_logprobs(
                 mu, rho, seeds, prior_mu=bparams.prior_mu[epath]

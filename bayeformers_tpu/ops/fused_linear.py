@@ -51,7 +51,7 @@ TEMPS_BYTES = 1 << 20
 
 
 def _pick_bn_bm(
-    k_pad: int, n_pad: int, m: int, n_weight_arrays: int
+    k_pad: int, n_pad: int, m: int, n_weight_arrays: int, x_bytes: int = 4
 ) -> tuple[int, int] | None:
     """(BN, BM) minimizing grid steps under the VMEM budget; None if none fit.
 
@@ -60,7 +60,8 @@ def _pick_bn_bm(
     is FEWEST grid steps ``(Np/BN)*(Mp/BM)``, tie-broken toward larger BM
     (better MXU row utilization). VMEM model: ``n_weight_arrays`` (mu, rho
     [, prior_mu]) double-buffered at (Kp, BN), the W scratch, the
-    double-buffered x block, the output block, and ~1MB of eps-unit temps.
+    double-buffered x and output blocks (``x_bytes`` per element — bf16
+    activations halve them), and ~1MB of eps-unit temps.
     """
     bm_cap = min(1024, common.round_up(m, 8))
     best = None
@@ -71,12 +72,11 @@ def _pick_bn_bm(
         for bn in (512, 256, 128):
             if n_pad % bn:
                 continue
-            est = 4 * (
-                n_weight_arrays * k_pad * bn * 2
-                + k_pad * bn
-                + bm * k_pad * 2
-                + bm * bn * 2
-            ) + TEMPS_BYTES
+            est = (
+                4 * (n_weight_arrays * k_pad * bn * 2 + k_pad * bn)
+                + x_bytes * (bm * k_pad * 2 + bm * bn * 2)
+                + TEMPS_BYTES
+            )
             if est * VMEM_FUDGE > VMEM_LIMIT:
                 continue
             m_pad = common.round_up(m, bm)
@@ -176,11 +176,15 @@ def _kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref, rho_ref, *rest
             logq_ref[s, 0] += t_q
             logp_ref[s, 0] += t_p
 
-    dt = config.dot_dtype()
-    o_ref[0] = jnp.dot(
-        x_ref[0].astype(dt), w_ref[:, :].astype(dt),
+    # bf16 activations: x arrives bf16, w (kept f32 for the log-prob math)
+    # is cast at the dot; accumulation is always f32, output keeps x's dtype.
+    x_tile = x_ref[0]
+    dt = x_tile.dtype if x_tile.dtype == jnp.bfloat16 else config.dot_dtype()
+    acc = jnp.dot(
+        x_tile.astype(dt), w_ref[:, :].astype(dt),
         preferred_element_type=jnp.float32,
     )
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _n_weight_arrays(prior: tuple) -> int:
@@ -197,7 +201,9 @@ def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
     S, M, K = x.shape
     _, N = mu.shape
     Kp, Np = _pad_kn(K, N)
-    bn, bm = _pick_bn_bm(Kp, Np, M, _n_weight_arrays(prior))
+    bn, bm = _pick_bn_bm(
+        Kp, Np, M, _n_weight_arrays(prior), x_bytes=x.dtype.itemsize
+    )
     Mp = common.round_up(M, bm)
     xp = jnp.pad(x, ((0, 0), (0, Mp - M), (0, Kp - K)))
     mup = jnp.pad(mu, ((0, Kp - K), (0, Np - N)))
@@ -226,7 +232,7 @@ def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
         pl.BlockSpec((S, 1), lambda j, s, i: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((S, Mp, Np), jnp.float32),
+        jax.ShapeDtypeStruct((S, Mp, Np), x.dtype),
         jax.ShapeDtypeStruct((S, 1), jnp.float32),
         jax.ShapeDtypeStruct((S, 1), jnp.float32),
     ]
@@ -304,7 +310,9 @@ def _pallas_fullk_regen(mu, rho, seeds):
 
 def _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple):
     w = split_lib.naive_weights(mu, rho, seeds)
-    y = jnp.einsum("smk,skn->smn", x, w)
+    y = jnp.einsum(
+        "smk,skn->smn", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
     sigma = jax.nn.softplus(rho)
     eps = (w - mu[None]) / sigma[None]
     logq = jnp.sum(
@@ -354,12 +362,12 @@ def _bwd_common(prior, x, mu, rho, prior_mu, w, seeds, cotangents):
     sigmoid = jax.nn.sigmoid(rho)
     eps = (w - mu[None]) / sigma[None]
 
-    # matmul terms (optionally bf16 inputs, f32 accumulation)
-    dt = config.dot_dtype()
+    # matmul terms: bf16 inputs when activations are bf16, f32 accumulation
+    dt = x.dtype if x.dtype == jnp.bfloat16 else config.dot_dtype()
     f32 = jnp.float32
     dx = jnp.einsum(
         "smn,skn->smk", g_y.astype(dt), w.astype(dt), preferred_element_type=f32
-    )
+    ).astype(x.dtype)
     dw = jnp.einsum(
         "smk,smn->skn", x.astype(dt), g_y.astype(dt), preferred_element_type=f32
     )

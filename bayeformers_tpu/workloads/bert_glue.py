@@ -121,6 +121,7 @@ def train(
     batch_size: int = BATCH_SIZE,
     lr: float = LR,
     size: str = "base",
+    bf16: bool = False,
     pretrained: str | None = None,
     seed: int = 0,
     limit_batches: int | None = None,
@@ -136,6 +137,7 @@ def train(
     bundle = bert_lib.build_model(
         model_name, task="classification", n_labels=N_LABELS,
         pretrained=pretrained, size=size, seed=seed,
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
     train_data, dev_data, synthetic = load_glue(
         data, bundle.config.vocab_size, seed, task=task, vocab=vocab
@@ -321,6 +323,8 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--no-fused", action="store_true")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 activations (variational numerics stay f32)")
     parser.add_argument("--save-dir", default=None)
     parser.add_argument("--resume", action="store_true",
                         help="continue the Bayesian phase from --save-dir")
@@ -334,7 +338,7 @@ def main():
         exp=args.exp, model_name=args.model, data=args.data, task=args.task,
         vocab=args.vocab, logs=args.logs,
         epochs=args.epochs, b_epochs=args.b_epochs, samples=args.samples,
-        batch_size=args.batch_size, lr=args.lr, size=args.size,
+        batch_size=args.batch_size, lr=args.lr, size=args.size, bf16=args.bf16,
         pretrained=args.pretrained, seed=args.seed,
         limit_batches=args.limit_batches, fused=not args.no_fused,
         save_dir=args.save_dir, resume=args.resume,

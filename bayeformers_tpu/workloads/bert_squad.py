@@ -162,6 +162,7 @@ def train(
     max_seq: int = MAX_SEQ,
     lr: float = LR,
     size: str = "base",
+    bf16: bool = False,
     pretrained: str | None = None,
     seed: int = 0,
     limit_batches: int | None = None,
@@ -174,6 +175,7 @@ def train(
 
     bundle = bert_lib.build_bert(
         task="qa", pretrained=pretrained, size=size, seed=seed,
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
         **({} if size == "base" else {"max_position_embeddings": max_seq}),
     )
     train_data, dev_data, dev_feats, dev_examples, synthetic = load_squad(
@@ -342,6 +344,8 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--no-fused", action="store_true")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 activations (variational numerics stay f32)")
     parser.add_argument("--save-dir", default=None)
     parser.add_argument("--hypersearch", type=int, default=0)
     args = parser.parse_args()

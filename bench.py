@@ -132,6 +132,14 @@ def main():
     # extension estimator: flipout at S=1 (per-example decorrelated
     # perturbations make one pass worth ~B quasi-samples; see PERF.md)
     t_flip = bench_train(bmodel, bparams, inputs, labels, "flipout", n_samples=1)
+    # bf16 activations (f32 variational numerics — log-probs bit-identical)
+    bundle16 = bert_lib.build_bert(
+        task="classification", n_labels=2, size="base", dtype=jnp.bfloat16
+    )
+    bmodel16, bparams16 = bf.to_bayesian(
+        bundle16.apply_fn, bundle16.params, delta=0.05, freeze=True
+    )
+    t_bf16 = bench_train(bmodel16, bparams16, inputs, labels, "fused")
 
     result = {
         "metric": "bert_base_glue_mc10_elbo_steps_per_sec",
@@ -144,6 +152,7 @@ def main():
             "fused_step_ms": round(t_fused * 1e3, 2),
             "naive_step_ms": round(t_naive * 1e3, 2),
             "flipout_s1_step_ms": round(t_flip * 1e3, 2),
+            "bf16_activations_step_ms": round(t_bf16 * 1e3, 2),
             "sampled_vs_dense_matmul_ratio": round(ratio, 4),
             "sampled_matmul_ms": round(t_s * 1e3, 3),
             "dense_matmul_ms": round(t_d * 1e3, 3),
