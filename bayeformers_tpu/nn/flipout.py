@@ -26,7 +26,7 @@ paths from the surgery spec).
 """
 from __future__ import annotations
 
-import math
+
 
 import flax.linen as nn
 import jax

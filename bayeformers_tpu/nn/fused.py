@@ -94,6 +94,11 @@ def fused_mc_apply(
     path_index = {p: i for i, p in enumerate(paths)}
     mixture = (spec.prior.pi, spec.prior.sigma1, spec.prior.sigma2)
     collected: list[tuple[jax.Array, jax.Array]] = []
+    # Weight-sharing guard: a module invoked multiple times per forward
+    # (tied layers) samples the same weights each call (same seeds) but must
+    # contribute its KL terms exactly once, as the reference's per-module
+    # aggregation does (`bayeformers/nn/model.py:70-89`).
+    seen: set[str] = set()
 
     def layer_seeds(i: int) -> jax.Array:
         keys = jax.random.split(jax.random.fold_in(key, i), S)
@@ -135,7 +140,9 @@ def fused_mc_apply(
                 bparams.prior_mu.get(bpath) if spec.moped else None, mixture,
             )
             lq, lp = lq + lq_b, lp + lp_b
-        collected.append((lq, lp))
+        if kpath not in seen:
+            seen.add(kpath)
+            collected.append((lq, lp))
         return y.reshape(lead + (y.shape[-1],))
 
     def handle_embed(mod, ids):
@@ -143,7 +150,9 @@ def fused_mc_apply(
         mu = mod.variables["params"]["embedding"]
         rho = bparams.rho[epath]
         seeds = layer_seeds(path_index[epath])
-        tables = ops_linear.regenerate_weights(mu, rho, seeds)  # (S, V, D)
+        # sampled_weights (not the raw regen kernel): the tables flow into
+        # the loss, so the op must carry a reparametrization VJP on TPU
+        tables = ops_fused.sampled_weights(mu, rho, seeds)  # (S, V, D)
         lead = ids.shape
         ids_s = ids.reshape(S, -1)
         out = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(tables, ids_s)
@@ -154,7 +163,9 @@ def fused_mc_apply(
             )
         else:
             lq, lp = ops_logprob.sampled_logprobs(mu, rho, seeds, mixture=mixture)
-        collected.append((lq, lp))
+        if epath not in seen:
+            seen.add(epath)
+            collected.append((lq, lp))
         return out.reshape(lead + (mu.shape[-1],))
 
     def interceptor(next_fun, f_args, f_kwargs, context):

@@ -72,8 +72,10 @@ def _pick_bn_bm(
         for bn in (512, 256, 128):
             if n_pad % bn:
                 continue
+            # W counted double-buffered: with save_weights it is a pipelined
+            # OUTPUT (block index varies across grid steps), not a scratch.
             est = (
-                4 * (n_weight_arrays * k_pad * bn * 2 + k_pad * bn)
+                4 * (n_weight_arrays * k_pad * bn * 2 + 2 * k_pad * bn)
                 + x_bytes * (bm * k_pad * 2 + bm * bn * 2)
                 + TEMPS_BYTES
             )
@@ -153,11 +155,7 @@ def _kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref, rho_ref, *rest
                     logp_terms = -0.5 * z * z
                 else:
                     _, pi, s1, s2 = prior
-                    lp1 = -LOG_SQRT_2PI - math.log(s1) - 0.5 * (w / s1) ** 2
-                    lp2 = -LOG_SQRT_2PI - math.log(s2) - 0.5 * (w / s2) ** 2
-                    logp_terms = jnp.logaddexp(
-                        math.log(pi) + lp1, math.log1p(-pi) + lp2
-                    )
+                    logp_terms = logprob_lib._mixture_log_pdf(w, pi, s1, s2)
 
                 if mask is None:
                     t_q += jnp.sum(logq_terms)
@@ -331,8 +329,15 @@ def _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple):
 
 
 def _regen(mu, rho, seeds):
-    """Regenerate exactly the weights the forward used (same dispatch)."""
-    if split_lib.use_pallas():
+    """Regenerate exactly the weights the forward used (same dispatch).
+
+    Shapes beyond the full-K kernel (e.g. vocab-sized embedding tables used
+    via sampled_weights) fall back to the naive stream; bayes_linear never
+    reaches this path for such shapes because its public wrapper already
+    routed them to the split ops.
+    """
+    kp = common.round_up(mu.shape[0], common.UNIT_K)
+    if split_lib.use_pallas() and kp <= MAX_FULLK:
         return _pallas_fullk_regen(mu, rho, seeds)
     return split_lib.naive_weights(mu, rho, seeds)
 
@@ -408,6 +413,33 @@ _bayes_linear.defvjp(_fwd, _bwd)
 regenerate_weights = _regen
 
 
+@jax.custom_vjp
+def sampled_weights(mu, rho, seeds):
+    """Differentiable (S, K, N) sampled weights with bayes_linear's eps
+    stream. Needed where the weights themselves flow into the loss (e.g.
+    converted embedding tables): the raw regeneration kernel has no AD rule,
+    so this wrapper supplies the reparametrization VJP."""
+    return _regen(mu, rho, seeds)
+
+
+def _sampled_weights_fwd(mu, rho, seeds):
+    w = _regen(mu, rho, seeds)
+    return w, (mu, rho, w, seeds)
+
+
+def _sampled_weights_bwd(res, g):
+    mu, rho, w, seeds = res
+    sigma = jax.nn.softplus(rho)
+    eps = (w - mu[None]) / sigma[None]
+    dmu = jnp.sum(g, axis=0)
+    drho = jnp.sum(g * eps, axis=0) * jax.nn.sigmoid(rho)
+    dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
+    return dmu, drho, dseeds
+
+
+sampled_weights.defvjp(_sampled_weights_fwd, _sampled_weights_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Saved-W variant: forward emits the sampled weights as a residual, so the
 # backward pass costs one HBM read instead of a full PRNG regeneration.
@@ -423,8 +455,10 @@ def _impl_saved(x, mu, rho, seeds, prior_mu, prior: tuple):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _bayes_linear_saved(x, mu, rho, seeds, prior_mu, prior: tuple):
-    y, lq, lp, _ = _impl_saved(x, mu, rho, seeds, prior_mu, prior)
-    return y, lq, lp
+    # Primal (non-differentiated calls, i.e. inference): identical values
+    # WITHOUT writing W to HBM; only the AD forward (_fwd_saved) pays the
+    # residual write, which backward then reads instead of regenerating.
+    return _bayes_linear(x, mu, rho, seeds, prior_mu, prior)
 
 
 def _fwd_saved(x, mu, rho, seeds, prior_mu, prior):

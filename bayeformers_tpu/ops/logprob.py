@@ -39,6 +39,7 @@ from bayeformers_tpu.ops import common
 from bayeformers_tpu.ops.sampled_linear import (
     naive_weights,
     regenerate_weights,
+    scratch_fits,
     use_pallas,
 )
 
@@ -174,7 +175,7 @@ def _naive_logprobs(mu, rho, seeds, prior: tuple, prior_mu=None):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _logprobs_mixture(mu, rho, seeds, mixture: tuple[float, float, float]):
     prior = ("mixture",) + mixture
-    if use_pallas():
+    if use_pallas() and scratch_fits(*mu.shape):
         return _pallas_logprobs(mu, rho, seeds, prior)
     return _naive_logprobs(mu, rho, seeds, prior)
 
@@ -206,7 +207,7 @@ _logprobs_mixture.defvjp(_mixture_fwd, _mixture_bwd)
 @jax.custom_vjp
 def _logprobs_gaussian(mu, rho, seeds, prior_mu):
     prior = ("gaussian",)
-    if use_pallas():
+    if use_pallas() and scratch_fits(*mu.shape):
         return _pallas_logprobs(mu, rho, seeds, prior, prior_mu)
     return _naive_logprobs(mu, rho, seeds, prior, prior_mu)
 

@@ -61,7 +61,9 @@ def naive_weights(mu: jax.Array, rho: jax.Array, seeds: jax.Array) -> jax.Array:
 
 def naive_sampled_dense(x, mu, rho, seeds):
     w = naive_weights(mu, rho, seeds)
-    return jnp.einsum("smk,skn->smn", x, w)
+    return jnp.einsum(
+        "smk,skn->smn", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +86,10 @@ def _fused_kernel(bk: int, seed_ref, x_ref, mu_ref, rho_ref, o_ref, w_ref):
         eps = common.tile_eps(seed_ref[s], j, kk, nk, (bk, w_ref.shape[1]))
         w_ref[rows, :] = mu_ref[:] + jax.nn.softplus(rho_ref[:]) * eps
 
-    partial = jnp.dot(x_ref[0], w_ref[rows, :], preferred_element_type=jnp.float32)
+    partial = jnp.dot(
+        x_ref[0], w_ref[rows, :].astype(x_ref.dtype),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(kk == 0)
     def _init():
@@ -97,6 +102,17 @@ def _fused_kernel(bk: int, seed_ref, x_ref, mu_ref, rho_ref, o_ref, w_ref):
 
 def _pad2(a: jax.Array, r: int, c: int) -> jax.Array:
     return jnp.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1])))
+
+
+# The W scratch is full-K: beyond this the kernel cannot fit VMEM and the
+# op falls back to the (slow but correct) naive path.
+MAX_SCRATCH_BYTES = 8 * 1024 * 1024
+
+
+def scratch_fits(k: int, n: int) -> bool:
+    kp, np_ = common.pad_amounts(k, n)
+    _, bn = common.pick_tiles(kp, np_)
+    return 4 * kp * bn <= MAX_SCRATCH_BYTES
 
 
 def pallas_sampled_dense(x, mu, rho, seeds):
@@ -173,8 +189,10 @@ def pallas_regenerate_weights(mu, rho, seeds):
 
 
 def regenerate_weights(mu, rho, seeds):
-    """(S, K, N) sampled weights, same eps stream as the fused forward."""
-    if use_pallas():
+    """(S, K, N) sampled weights, same eps stream as the split-op forward
+    (NOT the full-K bayes_linear stream — use fused_linear.regenerate_weights
+    for that one)."""
+    if use_pallas() and scratch_fits(*mu.shape):
         return pallas_regenerate_weights(mu, rho, seeds)
     return naive_weights(mu, rho, seeds)
 
@@ -186,8 +204,8 @@ def regenerate_weights(mu, rho, seeds):
 @jax.custom_vjp
 def sampled_dense(x: jax.Array, mu: jax.Array, rho: jax.Array, seeds: jax.Array):
     """``(S, M, K) @ sampled (K, N) -> (S, M, N)`` with per-sample weights."""
-    if use_pallas():
-        return pallas_sampled_dense(x, mu, rho, seeds)
+    if use_pallas() and scratch_fits(*mu.shape):
+        return pallas_sampled_dense(x, mu, rho, seeds).astype(x.dtype)
     return naive_sampled_dense(x, mu, rho, seeds)
 
 

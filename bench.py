@@ -32,15 +32,23 @@ S, B, L = 10, 8, 128
 N_WARMUP, N_ITER = 3, 10
 
 
-def timeit(fn, *args, n=N_ITER, warmup=N_WARMUP):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def timeit_chained(fn, state, n=N_ITER, warmup=N_WARMUP):
+    """Time ``state, probe = fn(state, i)`` iterations.
+
+    Two measurement traps on this runtime, both hit in earlier revisions:
+    repeated IDENTICAL dispatches can be deduplicated (impossibly fast
+    times), and block_until_ready on a large state pytree can return before
+    the work is done. So the state is threaded through with a varying
+    iteration index, and the sync point is the final step's scalar probe —
+    whose value transitively requires every chained step to have executed.
+    """
+    for i in range(warmup):
+        state, probe = fn(state, i)
+    float(probe)  # host sync through the scalar
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(n):
+        state, probe = fn(state, warmup + i)
+    float(probe)
     return (time.perf_counter() - t0) / n
 
 
@@ -73,11 +81,12 @@ def bench_train(bmodel, bparams, inputs, labels, mode: str, n_samples: int = S):
     step, opt_state = make_step(bmodel, bparams, mode, n_samples)
     key = jax.random.key(0)
 
-    def run():
-        bp2, opt2, loss = step(bparams, opt_state, key, inputs, labels)
-        return loss
+    def run(state, i):
+        bp, opt = state
+        bp, opt, loss = step(bp, opt, jax.random.fold_in(key, i), inputs, labels)
+        return (bp, opt), loss
 
-    return timeit(run)
+    return timeit_chained(run, (bparams, opt_state))
 
 
 def bench_matmul_ratio():
@@ -98,16 +107,26 @@ def bench_matmul_ratio():
         w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.02)
         seeds = jnp.arange(S, dtype=jnp.int32)
 
-        sampled = jax.jit(
-            lambda x, mu, rho: ops_fused.bayes_linear(
-                x, mu, rho, seeds, prior_on_mu=True
-            )[0]
+        # chained: each iteration's x depends (by +0) on the previous output,
+        # so no two executions are identical and none can be deduplicated
+        @jax.jit
+        def sampled_step(x, mu, rho, s):
+            y = ops_fused.bayes_linear(x, mu, rho, s, prior_on_mu=True)[0]
+            m = jnp.mean(y)
+            return x + 0.0 * m, m
+
+        @jax.jit
+        def dense_step(x, w, i):
+            y = jax.lax.dot_general(x + 0.0 * i, w, (((2,), (0,)), ((), ())))
+            m = jnp.mean(y)
+            return x + 0.0 * m, m
+
+        t_s = timeit_chained(
+            lambda st, i: sampled_step(st, mu, rho, seeds + i), x, n=30, warmup=5
         )
-        dense = jax.jit(
-            lambda x, w: jax.lax.dot_general(x, w, (((2,), (0,)), ((), ())))
+        t_d = timeit_chained(
+            lambda st, i: dense_step(st, w, jnp.float32(i)), x, n=30, warmup=5
         )
-        t_s = timeit(sampled, x, mu, rho, n=30, warmup=5)
-        t_d = timeit(dense, x, w, n=30, warmup=5)
         ratios.append(t_s / t_d)
         t_s_total += t_s
         t_d_total += t_d
