@@ -28,6 +28,7 @@ Layers with Kp > MAX_FULLK fall back to the split implementation.
 from __future__ import annotations
 
 import functools
+import os
 import math
 
 import jax
@@ -72,14 +73,23 @@ def _pick_bn_bm(
         for bn in (512, 256, 128):
             if n_pad % bn:
                 continue
-            # W counted double-buffered: with save_weights it is a pipelined
-            # OUTPUT (block index varies across grid steps), not a scratch.
+            # The W buffer is counted once. With save_weights it is a
+            # pipelined output and could in principle double-buffer, but all
+            # BERT-shaped configs chosen by this model compile and run with
+            # save_weights on a real v5e (empirically calibrated; counting it
+            # twice demotes the FFN down-proj to bm=64 and costs ~2x grid
+            # steps). If a larger model ever hits a Mosaic VMEM error, derate
+            # via BAYEFORMERS_VMEM_LIMIT_MB.
             est = (
-                4 * (n_weight_arrays * k_pad * bn * 2 + 2 * k_pad * bn)
+                4 * (n_weight_arrays * k_pad * bn * 2 + k_pad * bn)
                 + x_bytes * (bm * k_pad * 2 + bm * bn * 2)
                 + TEMPS_BYTES
             )
-            if est * VMEM_FUDGE > VMEM_LIMIT:
+            limit = (
+                int(os.environ.get("BAYEFORMERS_VMEM_LIMIT_MB", "0")) * (1 << 20)
+                or VMEM_LIMIT
+            )
+            if est * VMEM_FUDGE > limit:
                 continue
             m_pad = common.round_up(m, bm)
             steps = (n_pad // bn) * (m_pad // bm)
