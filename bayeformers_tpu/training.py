@@ -156,6 +156,15 @@ def adamw_with_decay_groups(
 
 
 def default_no_decay(path: str) -> bool:
-    """bias and LayerNorm parameters skip weight decay (HF convention)."""
+    """bias and normalization parameters skip weight decay (HF convention).
+
+    In Flax, LayerNorm/GroupNorm gains are leaves named ``scale`` regardless
+    of the module's name, so that leaf name is matched directly in addition
+    to the HF-style ``LayerNorm`` module-name check.
+    """
     lowered = path.lower()
-    return lowered.endswith("bias") or "layernorm" in lowered.replace("_", "")
+    return (
+        lowered.endswith("bias")
+        or lowered.endswith("scale")
+        or "layernorm" in lowered.replace("_", "")
+    )

@@ -196,3 +196,39 @@ def test_elbo_train_step_reduces_loss(net_and_params):
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
     # frozen mu never moved
     np.testing.assert_array_equal(np.asarray(bp.params["fc1"]["kernel"]), frozen_mu0)
+
+
+def test_adamw_decay_groups_actually_mask(net_and_params):
+    """Q6 fix: bias/LayerNorm leaves must not be weight-decayed."""
+    import jax.numpy as jnp
+    from bayeformers_tpu import training
+
+    _, params, apply_fn, _ = net_and_params
+    bmodel, bp = bf.to_bayesian(apply_fn, params, delta=0.05)
+    tx = training.adamw_with_decay_groups(
+        1e-3, weight_decay=0.5, mask_no_decay=training.default_no_decay,
+        clip_norm=None,
+    )
+    state = tx.init(bp)
+    zero_grads = jax.tree.map(jnp.zeros_like, bp)
+    updates, _ = tx.update(zero_grads, state, bp)
+    # with zero grads, adamw's update is pure decay: -lr*wd*param
+    decayed = updates.params["fc1"]["kernel"]
+    assert float(jnp.abs(decayed).max()) > 0  # kernel IS decayed
+    not_decayed = updates.params["fc1"]["bias"]
+    assert float(jnp.abs(not_decayed).max()) == 0  # bias is NOT
+    assert float(jnp.abs(updates.params["ln"]["scale"]).max()) == 0  # LN is NOT
+    assert float(jnp.abs(updates.rho["fc1/kernel"]).max()) == 0  # rho never decays
+
+
+def test_predictive_api(net_and_params):
+    _, params, apply_fn, args = net_and_params
+    bmodel, bp = bf.to_bayesian(apply_fn, params, delta=0.2)
+    pred = bf.elbo.predictive(bmodel, bp, jax.random.key(0), 8, *args)
+    B, C = 2, 3
+    assert pred["probs"].shape == (B, C)
+    np.testing.assert_allclose(np.asarray(pred["probs"]).sum(-1), 1.0, rtol=1e-5)
+    assert pred["epistemic_std"].shape == (B, C)
+    assert float(pred["epistemic_std"].max()) > 0  # delta=0.2 => real spread
+    assert pred["entropy"].shape == (B,)
+    assert pred["logits"].shape == (8, B, C)
