@@ -26,6 +26,22 @@ def classification_loss(out, batch):
     return nll, {"acc": acc, "acc_std": acc_std}
 
 
+def regression_loss(out, batch):
+    """Sum-reduced MSE on the S-averaged scalar head (STS-B).
+
+    The reference's generic `GlueDataset` path accepts regression tasks but
+    its loss/metric code is classification-only (`examples/bert_glue.py:
+    183-186`); this is the regression completion of that recipe. ``acc_std``'s
+    regression analog is the std of per-MC-sample MSEs.
+    """
+    targets = batch["labels"].astype(jnp.float32)
+    per_sample = out[..., 0].astype(jnp.float32)  # (S, B)
+    preds = jnp.mean(per_sample, axis=0)
+    nll = jnp.sum((preds - targets) ** 2)
+    per_sample_mse = jnp.mean((per_sample - targets[None]) ** 2, axis=1)
+    return nll, {"mse": nll / targets.shape[0], "mse_std": jnp.std(per_sample_mse)}
+
+
 def qa_span_loss(out, batch):
     """SQuAD span loss: mean of start/end CE (reference
     `examples/bert_squad.py:307-313`), sum-reduced over the batch."""

@@ -1,30 +1,80 @@
 """GLUE data pipeline: raw TSV -> tokenized model inputs, dependency-free.
 
-The reference relies on HF ``GlueDataset`` + a downloaded tokenizer
-(`examples/bert_glue.py:98-102`). Here the official task TSVs are parsed
-directly and featurized with any ``tokenize(text) -> ids`` callable — e.g.
-the native C++ WordPiece tokenizer (bayeformers_tpu/native) with a local
-vocab.txt — producing the ``{split}_{input_ids,...}`` arrays the GLUE
-workload consumes. Supported layouts: MRPC (sentence pairs), SST-2 (single
-sentence); other tasks follow the same two patterns via ``columns``.
+The reference relies on HF ``GlueDataset`` + a downloaded tokenizer and
+handles every GLUE task generically (`examples/bert_glue.py:98-102`, task
+selected at `:82-87`). Here the official task TSVs are parsed directly and
+featurized with any ``tokenize(text) -> ids`` callable — e.g. the native C++
+WordPiece tokenizer (bayeformers_tpu/native) with a local vocab.txt —
+producing the ``{split}_{input_ids,...}`` arrays the GLUE workload consumes.
+
+All nine GLUE tasks are supported via the ``TASKS`` registry: column
+layouts match the official TSV distributions (the same indices the HF GLUE
+processors read), string labels are mapped per task, and STS-B is flagged as
+regression (float targets in [0, 5], metric Pearson/Spearman).
 """
 from __future__ import annotations
 
 import csv
+import dataclasses
 import os
 from typing import Callable, Optional
 
 import numpy as np
 
-# (text_a_col, text_b_col, label_col, has_header) per task file layout
-TASK_COLUMNS = {
-    "mrpc": (3, 4, 0, True),
-    "sst-2": (0, None, 1, True),
-    "sst2": (0, None, 1, True),
-    "rte": (1, 2, 3, True),
-    "wnli": (1, 2, 3, True),
-    "qqp": (3, 4, 5, True),
+
+@dataclasses.dataclass(frozen=True)
+class TaskSpec:
+    """Raw-TSV layout + label semantics for one GLUE task."""
+
+    text_a: int
+    text_b: Optional[int]          # None: single-sentence task
+    label: int                     # column index (may be -1 = last)
+    header: bool
+    n_labels: int                  # 1 => regression (STS-B)
+    label_map: Optional[tuple] = None  # string labels -> class index
+    metric: str = "acc"            # acc | acc_f1 | mcc | pearson_spearman
+    dev_file: str = "dev.tsv"
+
+    @property
+    def regression(self) -> bool:
+        return self.n_labels == 1
+
+    def parse_label(self, raw: str):
+        if self.regression:
+            return float(raw)
+        if self.label_map is not None:
+            return self.label_map.index(raw)
+        return int(raw)
+
+
+TASKS = {
+    "cola": TaskSpec(3, None, 1, header=False, n_labels=2, metric="mcc"),
+    "sst2": TaskSpec(0, None, 1, header=True, n_labels=2),
+    "mrpc": TaskSpec(3, 4, 0, header=True, n_labels=2, metric="acc_f1"),
+    "stsb": TaskSpec(7, 8, -1, header=True, n_labels=1,
+                     metric="pearson_spearman"),
+    "qqp": TaskSpec(3, 4, 5, header=True, n_labels=2, metric="acc_f1"),
+    "mnli": TaskSpec(8, 9, -1, header=True, n_labels=3,
+                     label_map=("contradiction", "entailment", "neutral"),
+                     dev_file="dev_matched.tsv"),
+    "mnli-mm": TaskSpec(8, 9, -1, header=True, n_labels=3,
+                        label_map=("contradiction", "entailment", "neutral"),
+                        dev_file="dev_mismatched.tsv"),
+    "qnli": TaskSpec(1, 2, -1, header=True, n_labels=2,
+                     label_map=("entailment", "not_entailment")),
+    "rte": TaskSpec(1, 2, -1, header=True, n_labels=2,
+                    label_map=("entailment", "not_entailment")),
+    "wnli": TaskSpec(1, 2, -1, header=True, n_labels=2),
 }
+_ALIASES = {"sst-2": "sst2", "sts-b": "stsb"}
+
+
+def task_spec(task: str) -> TaskSpec:
+    name = task.lower()
+    name = _ALIASES.get(name, name)
+    if name not in TASKS:
+        raise ValueError(f"unknown GLUE task {task!r}; known: {sorted(TASKS)}")
+    return TASKS[name]
 
 
 def read_tsv(path: str, has_header: bool) -> list[list[str]]:
@@ -35,13 +85,14 @@ def read_tsv(path: str, has_header: bool) -> list[list[str]]:
 
 def featurize_pairs(
     pairs: list[tuple[str, Optional[str]]],
-    labels: list[int],
+    labels: list,
     tokenize: Callable[[str], list[int]],
     *,
     max_seq: int = 128,
     cls_id: int = 101,
     sep_id: int = 102,
     pad_id: int = 0,
+    regression: bool = False,
 ) -> dict[str, np.ndarray]:
     """[CLS] a [SEP] (b [SEP]) with 0/1 token types, truncated/padded."""
     n = len(pairs)
@@ -70,7 +121,7 @@ def featurize_pairs(
         "input_ids": input_ids,
         "attention_mask": attention,
         "token_type_ids": type_ids,
-        "labels": np.asarray(labels, np.int32),
+        "labels": np.asarray(labels, np.float32 if regression else np.int32),
     }
 
 
@@ -81,11 +132,12 @@ def load_glue_task(
     *,
     max_seq: int = 128,
     train_file: str = "train.tsv",
-    dev_file: str = "dev.tsv",
+    dev_file: str | None = None,
     cache: bool = True,
 ) -> tuple[dict, dict]:
     """(train, dev) array dicts for a GLUE task directory; cached to .npz."""
-    cols = TASK_COLUMNS[task.lower()]
+    spec = task_spec(task)
+    dev_file = dev_file or spec.dev_file
     cache_path = os.path.join(data_dir, f"features_{task.lower()}_{max_seq}.npz")
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
@@ -96,13 +148,15 @@ def load_glue_task(
         )
 
     def build(path):
-        a_col, b_col, l_col, header = cols
-        rows = read_tsv(path, header)
+        rows = read_tsv(path, spec.header)
         pairs = [
-            (r[a_col], r[b_col] if b_col is not None else None) for r in rows
+            (r[spec.text_a], r[spec.text_b] if spec.text_b is not None else None)
+            for r in rows
         ]
-        labels = [int(r[l_col]) for r in rows]
-        return featurize_pairs(pairs, labels, tokenize, max_seq=max_seq)
+        labels = [spec.parse_label(r[spec.label]) for r in rows]
+        return featurize_pairs(
+            pairs, labels, tokenize, max_seq=max_seq, regression=spec.regression
+        )
 
     train = build(os.path.join(data_dir, train_file))
     dev = build(os.path.join(data_dir, dev_file))

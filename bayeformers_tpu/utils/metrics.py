@@ -72,3 +72,82 @@ def run_name(exp: str, **qualifiers) -> str:
     """``exp.KEY_value`` naming (reference `bert_glue.py:91-92`)."""
     parts = [exp] + [f"{k.upper()}_{v}" for k, v in qualifiers.items()]
     return ".".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# GLUE evaluation metrics (numpy, host-side)
+#
+# The reference reports only accuracy + acc_std (`examples/bert_glue.py:
+# 185-186`) because its default task is MRPC; the official GLUE metrics for
+# CoLA (Matthews corrcoef), MRPC/QQP (acc+F1) and STS-B (Pearson/Spearman)
+# are provided here so every task the generic `GlueDataset` path accepts can
+# actually be scored.
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402  (kept local to the metrics helpers)
+
+
+def matthews_corrcoef(preds, labels) -> float:
+    preds = np.asarray(preds).astype(np.int64)
+    labels = np.asarray(labels).astype(np.int64)
+    tp = float(np.sum((preds == 1) & (labels == 1)))
+    tn = float(np.sum((preds == 0) & (labels == 0)))
+    fp = float(np.sum((preds == 1) & (labels == 0)))
+    fn = float(np.sum((preds == 0) & (labels == 1)))
+    denom = np.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    return float((tp * tn - fp * fn) / denom) if denom > 0 else 0.0
+
+
+def f1_binary(preds, labels) -> float:
+    preds = np.asarray(preds).astype(np.int64)
+    labels = np.asarray(labels).astype(np.int64)
+    tp = float(np.sum((preds == 1) & (labels == 1)))
+    fp = float(np.sum((preds == 1) & (labels == 0)))
+    fn = float(np.sum((preds == 0) & (labels == 1)))
+    denom = 2 * tp + fp + fn
+    return float(2 * tp / denom) if denom > 0 else 0.0
+
+
+def pearson_corr(x, y) -> float:
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    xc, yc = x - x.mean(), y - y.mean()
+    denom = np.sqrt(np.sum(xc * xc) * np.sum(yc * yc))
+    return float(np.sum(xc * yc) / denom) if denom > 0 else 0.0
+
+
+def spearman_corr(x, y) -> float:
+    def rank(a):
+        # average ranks for ties (the scipy convention)
+        order = np.argsort(a, kind="stable")
+        ranks = np.empty(len(a), np.float64)
+        ranks[order] = np.arange(len(a), dtype=np.float64)
+        sorted_a = np.asarray(a)[order]
+        i = 0
+        while i < len(a):
+            j = i
+            while j + 1 < len(a) and sorted_a[j + 1] == sorted_a[i]:
+                j += 1
+            ranks[order[i : j + 1]] = 0.5 * (i + j)
+            i = j + 1
+        return ranks
+
+    return pearson_corr(rank(np.asarray(x, np.float64)),
+                        rank(np.asarray(y, np.float64)))
+
+
+def glue_metrics(metric: str, preds, labels) -> dict[str, float]:
+    """Official per-task GLUE scores; ``score`` is the headline value."""
+    preds = np.asarray(preds)
+    labels = np.asarray(labels)
+    if metric == "pearson_spearman":
+        p, s = pearson_corr(preds, labels), spearman_corr(preds, labels)
+        return {"pearson": p, "spearman": s, "score": 0.5 * (p + s)}
+    acc = float(np.mean(preds == labels))
+    if metric == "mcc":
+        m = matthews_corrcoef(preds, labels)
+        return {"acc": acc, "mcc": m, "score": m}
+    if metric == "acc_f1":
+        f1 = f1_binary(preds, labels)
+        return {"acc": acc, "f1": f1, "score": 0.5 * (acc + f1)}
+    return {"acc": acc, "score": acc}

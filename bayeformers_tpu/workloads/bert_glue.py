@@ -33,6 +33,8 @@ import bayeformers_tpu as bf
 from bayeformers_tpu import training
 from bayeformers_tpu.models import bert as bert_lib
 from bayeformers_tpu.utils import checkpoint as ckpt_lib
+from bayeformers_tpu.utils import glue as glue_lib
+from bayeformers_tpu.utils import metrics as metrics_lib
 from bayeformers_tpu.utils.dumper import Dumper
 from bayeformers_tpu.utils.hypersearch import HyperSearch
 from bayeformers_tpu.utils.metrics import MetricsWriter, Report, run_name
@@ -46,17 +48,18 @@ MAX_SEQ = 128
 LR = 2e-5
 ADAM_EPSILON = 1e-8
 CLIP_NORM = 1.0
-N_LABELS = 2  # MRPC
 
 
 def load_glue(data_path: str | None, vocab_size: int, seed: int = 0,
-              task: str = "mrpc", vocab: str | None = None):
+              task: str = "mrpc", vocab: str | None = None,
+              n_labels: int = 2, regression: bool = False):
     """Returns dicts train/dev of jnp arrays.
 
     Resolution order: (1) a pre-tokenized .npz; (2) a GLUE task directory of
     raw TSVs + a local vocab.txt, featurized via the native WordPiece
     tokenizer (utils/glue.py — no HF datasets dependency); (3) a synthetic
     stand-in that keeps label signal by planting a label-dependent token."""
+    label_dtype = jnp.float32 if regression else jnp.int32
     if data_path and os.path.isfile(data_path):
         z = np.load(data_path)
         def split(prefix):
@@ -64,7 +67,7 @@ def load_glue(data_path: str | None, vocab_size: int, seed: int = 0,
                 "input_ids": jnp.asarray(z[f"{prefix}_input_ids"], jnp.int32),
                 "attention_mask": jnp.asarray(z[f"{prefix}_attention_mask"], jnp.int32),
                 "token_type_ids": jnp.asarray(z[f"{prefix}_token_type_ids"], jnp.int32),
-                "labels": jnp.asarray(z[f"{prefix}_labels"], jnp.int32),
+                "labels": jnp.asarray(z[f"{prefix}_labels"], label_dtype),
             }
         return split("train"), split("dev"), False
     if (
@@ -73,24 +76,30 @@ def load_glue(data_path: str | None, vocab_size: int, seed: int = 0,
         and vocab and os.path.exists(vocab)
     ):
         from bayeformers_tpu.native import WordPieceTokenizer
-        from bayeformers_tpu.utils import glue as glue_lib
 
         tok = WordPieceTokenizer(vocab)
         train, dev = glue_lib.load_glue_task(
             data_path, task, tok.tokenize, max_seq=MAX_SEQ
         )
-        as_jnp = lambda d: {k: jnp.asarray(v) for k, v in d.items()}
+        as_jnp = lambda d: {
+            k: jnp.asarray(v, label_dtype if k == "labels" else jnp.int32)
+            for k, v in d.items()
+        }
         return as_jnp(train), as_jnp(dev), False
     rng = np.random.default_rng(seed)
     def make(n):
         ids = rng.integers(4, vocab_size, (n, MAX_SEQ))
-        labels = rng.integers(0, N_LABELS, (n,))
-        ids[:, 1] = 4 + labels * 7  # plantable signal token
+        if regression:
+            labels = rng.uniform(0.0, 5.0, (n,)).astype(np.float32)
+            ids[:, 1] = 4 + (labels * 4).astype(np.int64)  # score-binned token
+        else:
+            labels = rng.integers(0, n_labels, (n,))
+            ids[:, 1] = 4 + labels * 7  # plantable signal token
         return {
             "input_ids": jnp.asarray(ids, jnp.int32),
             "attention_mask": jnp.ones((n, MAX_SEQ), jnp.int32),
             "token_type_ids": jnp.zeros((n, MAX_SEQ), jnp.int32),
-            "labels": jnp.asarray(labels, jnp.int32),
+            "labels": jnp.asarray(labels, label_dtype),
         }
     return make(512), make(128), True
 
@@ -134,13 +143,23 @@ def train(
     writer = MetricsWriter(logs, name)
     dumper = Dumper(os.path.join(logs, name + ".results"))
 
+    # Task-driven head + loss: the reference's `GlueDataset` accepts every
+    # task generically (`examples/bert_glue.py:98-102`); here label count,
+    # regression-ness, and the official metric all come from the registry.
+    spec = glue_lib.task_spec(task)
+    regression = spec.regression
+    loss_fn = (
+        training.regression_loss if regression else training.classification_loss
+    )
+
     bundle = bert_lib.build_model(
-        model_name, task="classification", n_labels=N_LABELS,
+        model_name, task="classification", n_labels=spec.n_labels,
         pretrained=pretrained, size=size, seed=seed,
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
     train_data, dev_data, synthetic = load_glue(
-        data, bundle.config.vocab_size, seed, task=task, vocab=vocab
+        data, bundle.config.vocab_size, seed, task=task, vocab=vocab,
+        n_labels=spec.n_labels, regression=regression,
     )
     if synthetic:
         print("[bert_glue] no dataset found; using synthetic stand-in")
@@ -162,29 +181,45 @@ def train(
     )
     opt_state = tx.init(params)
 
+    def frequentist_nll(logits, labels):
+        if regression:
+            return jnp.sum((logits[..., 0].astype(jnp.float32) - labels) ** 2)
+        return bf.elbo.cross_entropy_sum(logits, labels)
+
     @jax.jit
     def f_step(params, opt_state, batch):
-        def loss_fn(p):
+        def objective(p):
             logits = bundle.apply_fn(p, **{k: batch[k] for k in input_keys})
-            return bf.elbo.cross_entropy_sum(logits, batch["labels"])
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+            return frequentist_nll(logits, batch["labels"])
+        loss, grads = jax.value_and_grad(objective)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
     def f_eval(params, batch):
         logits = bundle.apply_fn(params, **{k: batch[k] for k in input_keys})
-        nll = bf.elbo.cross_entropy_sum(logits, batch["labels"])
-        acc = jnp.sum((jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32))
-        return nll, acc
+        nll = frequentist_nll(logits, batch["labels"])
+        preds = (
+            logits[..., 0].astype(jnp.float32)
+            if regression
+            else jnp.argmax(logits, -1)
+        )
+        return nll, preds
 
     def eval_frequentist(params):
-        report = Report("nll", "acc", "n")
+        report = Report("nll", "n")
+        preds, labels = [], []
         for batch in batch_iter(dev_data, batch_size):
-            nll, acc = f_eval(params, batch)
-            report.update(nll=float(nll), acc=float(acc), n=len(batch["labels"]))
+            nll, p = f_eval(params, batch)
+            report.update(nll=float(nll), n=len(batch["labels"]))
+            preds.append(np.asarray(p))
+            labels.append(np.asarray(batch["labels"]))
         n = max(report.totals.pop("n"), 1)
-        return report.means(n)
+        means = report.means(n)
+        means.update(metrics_lib.glue_metrics(
+            spec.metric, np.concatenate(preds), np.concatenate(labels)
+        ))
+        return means
 
     with dumper.section("frequentist"):
         for epoch in range(epochs):
@@ -198,7 +233,8 @@ def train(
             metrics = eval_frequentist(params)
             writer.scalars("frequentist_test", metrics, epoch)
             dumper.record(**{f"epoch_{epoch}_{k}": v for k, v in metrics.items()})
-            print(f"[freq {epoch}] nll={metrics['nll']:.4f} acc={metrics['acc']:.4f}")
+            print(f"[freq {epoch}] nll={metrics['nll']:.4f} "
+                  f"{spec.metric}={metrics['score']:.4f}")
 
     # ---------------- Phase B: conversion ----------------------------------
     bmodel, bparams = bf.to_bayesian(
@@ -216,29 +252,38 @@ def train(
             print(f"[bert_glue] resumed from {save_dir} step {step_n}")
 
     eval_step = training.make_elbo_eval_step(
-        bmodel, samples, fused=fused, input_keys=input_keys
+        bmodel, samples, loss_fn=loss_fn, fused=fused, input_keys=input_keys
     )
+    # per-example metric keys from loss_fn (acc/acc_std or mse/mse_std)
+    sample_keys = ("mse", "mse_std") if regression else ("acc", "acc_std")
 
     def eval_bayesian(bparams, key):
-        report = Report("nll", "acc", "acc_std", "log_prior",
+        report = Report("nll", *sample_keys, "log_prior",
                         "log_variational_posterior", "n")
+        preds, labels = [], []
         n_b = 0
         for batch in batch_iter(dev_data, batch_size):
             key, k = jax.random.split(key)
-            _, m = eval_step(bparams, k, batch)
+            out, m = eval_step(bparams, k, batch)
             bsz = len(batch["labels"])
             report.update(
-                nll=float(m["nll"]), acc=float(m["acc"]) * bsz,
-                acc_std=float(m["acc_std"]) * bsz,
+                nll=float(m["nll"]),
+                **{k2: float(m[k2]) * bsz for k2 in sample_keys},
                 log_prior=float(m["log_prior"]),
                 log_variational_posterior=float(m["log_variational_posterior"]),
                 n=bsz,
             )
+            mean_out = np.asarray(bf.elbo.mc_logits_mean(out), np.float32)
+            preds.append(mean_out[..., 0] if regression else mean_out.argmax(-1))
+            labels.append(np.asarray(batch["labels"]))
             n_b += 1
         n = max(report.totals.pop("n"), 1)
         means = report.means(n)
         for tag in ("log_prior", "log_variational_posterior"):
             means[tag] = means[tag] * n / max(n_b, 1)  # per-batch scalars
+        means.update(metrics_lib.glue_metrics(
+            spec.metric, np.concatenate(preds), np.concatenate(labels)
+        ))
         return means
 
     # ---------------- Phase C: Bayesian eval -------------------------------
@@ -248,7 +293,8 @@ def train(
         metrics = eval_bayesian(bparams, k)
         writer.scalars("bayesian_eval", metrics, 0)
         dumper.record(**metrics)
-        print(f"[baye eval] acc={metrics['acc']:.4f} acc_std={metrics['acc_std']:.4f}")
+        print(f"[baye eval] {spec.metric}={metrics['score']:.4f} "
+              f"{sample_keys[1]}={metrics[sample_keys[1]]:.4f}")
 
     # ---------------- Phase D: Bayesian ELBO fine-tune ---------------------
     b_total = max(1, n_batches * b_epochs)
@@ -260,7 +306,8 @@ def train(
     btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
     b_opt_state = btx.init(bparams)
     b_step = training.make_elbo_train_step(
-        bmodel, btx, samples, n_batches, fused=fused, input_keys=input_keys
+        bmodel, btx, samples, n_batches, loss_fn=loss_fn, fused=fused,
+        input_keys=input_keys,
     )
 
     if profile_dir:
@@ -274,13 +321,15 @@ def train(
                     break
                 key, k = jax.random.split(key)
                 bparams, b_opt_state, m = b_step(bparams, b_opt_state, k, batch)
-                pbar.set_postfix(loss=float(m["loss"]), acc=float(m["acc"]))
+                pbar.set_postfix(loss=float(m["loss"]),
+                                 **{sample_keys[0]: float(m[sample_keys[0]])})
             key, k = jax.random.split(key)
             metrics = eval_bayesian(bparams, k)
             writer.scalars("bayesian_test", metrics, epoch)
             dumper.record(**{f"epoch_{epoch}_{k2}": v for k2, v in metrics.items()})
-            print(f"[baye {epoch}] nll={metrics['nll']:.4f} acc={metrics['acc']:.4f} "
-                  f"acc_std={metrics['acc_std']:.4f}")
+            print(f"[baye {epoch}] nll={metrics['nll']:.4f} "
+                  f"{spec.metric}={metrics['score']:.4f} "
+                  f"{sample_keys[1]}={metrics[sample_keys[1]]:.4f}")
             if save_dir:
                 ckpt_lib.save_checkpoint(
                     save_dir, bparams, step=epoch + 1,
@@ -290,13 +339,16 @@ def train(
     if profile_dir:
         jax.profiler.stop_trace()
 
-    if save_dir and b_epochs == start_epoch:
-        # resumed past the end: still report the restored metrics
+    if start_epoch >= b_epochs and start_epoch > 0:
+        # resumed past the end of the Bayesian phase: the loop never ran, so
+        # evaluate the restored parameters (regardless of save_dir) instead of
+        # returning the stale phase-C value
         key, k = jax.random.split(key)
         metrics = eval_bayesian(bparams, k)
+        writer.scalars("bayesian_test", metrics, start_epoch)
     writer.close()
     dumper.flush()
-    return float(metrics["acc"])
+    return float(metrics["score"])
 
 
 def main():
@@ -347,15 +399,16 @@ def main():
     t0 = time.time()
     if args.hypersearch:
         # reference driver: DELTA log-scale (1e-2, 1e-1), WEIGHT_DECAY linear
-        # (1e-3, 0), 10 iterations (`examples/bert_glue.py:324-331`)
+        # in (1e-3, 0) — i.e. uniform over [0, 1e-3], zero included —
+        # 10 iterations (`examples/bert_glue.py:324-331`)
         hs = HyperSearch(seed=args.seed)
         hs["delta"] = (1e-2, 1e-1), HyperSearch.LOG_SCALE
-        hs["weight_decay"] = (1e-6, 1e-3), HyperSearch.LINEAR_SCALE
+        hs["weight_decay"] = (0.0, 1e-3), HyperSearch.LINEAR_SCALE
         best = hs.search(train, iterations=args.hypersearch, **kwargs)
         print(f"best acc={best.value:.4f} with {best.hyperparameters}")
     else:
-        acc = train(delta=args.delta, weight_decay=args.weight_decay, **kwargs)
-        print(f"final acc={acc:.4f}")
+        score = train(delta=args.delta, weight_decay=args.weight_decay, **kwargs)
+        print(f"final score={score:.4f}")
     print(f"done in {time.time()-t0:.1f}s")
 
 
