@@ -58,6 +58,12 @@ def _get_lib():
                 ctypes.c_void_p, ctypes.c_char_p,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ]
+            lib.wp_encode_offsets.restype = ctypes.c_int64
+            lib.wp_encode_offsets.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ]
             lib.wp_encode_batch.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
@@ -127,6 +133,33 @@ class WordPieceTokenizer:
             return out[:n].tolist()
         return self._py.tokenize(text)
 
+    def tokenize_with_offsets(
+        self, text: str
+    ) -> tuple[list[int], list[tuple[int, int]]]:
+        """(ids, [(char_start, char_end)]) with subword-exact codepoint spans
+        into ``text`` — the offsets HF fast tokenizers expose, needed for
+        exact SQuAD span decoding (the word-granular fallback snaps decoded
+        answers to word boundaries)."""
+        if self._lib is not None:
+            cap = max(64, 2 * len(text) + 8)
+            while True:
+                ids = np.empty(cap, dtype=np.int32)
+                starts = np.empty(cap, dtype=np.int32)
+                ends = np.empty(cap, dtype=np.int32)
+                p = ctypes.POINTER(ctypes.c_int32)
+                n = self._lib.wp_encode_offsets(
+                    self._handle, text.encode("utf-8"),
+                    ids.ctypes.data_as(p), starts.ctypes.data_as(p),
+                    ends.ctypes.data_as(p), cap,
+                )
+                if n <= cap:
+                    return (
+                        ids[:n].tolist(),
+                        list(zip(starts[:n].tolist(), ends[:n].tolist())),
+                    )
+                cap = int(n)
+        return self._py.tokenize_with_offsets(text)
+
     def encode_batch(
         self, texts: list[str], capacity: int = 512, n_threads: int = 0
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -172,18 +205,26 @@ class _PyWordPiece:
             "pad": self.vocab.get("[PAD]", 0),
         }
 
-    def _basic(self, text: str) -> list[str]:
+    def _basic_with_maps(self, text: str) -> list[tuple[str, list[int]]]:
+        """Normalized basic tokens, each with the source char index of every
+        normalized char (lowercase/NFD may expand or drop chars)."""
         import unicodedata
 
-        out: list[str] = []
+        out: list[tuple[str, list[int]]] = []
         current: list[str] = []
-        for ch in text:
+        cur_src: list[int] = []
+
+        def flush():
+            if current:
+                out.append(("".join(current), list(cur_src)))
+                current.clear()
+                cur_src.clear()
+
+        for src, ch in enumerate(text):
             if unicodedata.category(ch) in ("Cc", "Cf") and ch not in "\t\n\r":
                 continue
             if ch.isspace():
-                if current:
-                    out.append("".join(current))
-                    current = []
+                flush()
                 continue
             if self.lowercase:
                 ch = unicodedata.normalize("NFD", ch.lower())
@@ -197,41 +238,60 @@ class _PyWordPiece:
                 or (33 <= cp <= 47) or (58 <= cp <= 64)
                 or (91 <= cp <= 96) or (123 <= cp <= 126)
             ):
-                if current:
-                    out.append("".join(current))
-                    current = []
-                out.append(ch)
+                flush()
+                out.append((ch, [src] * len(ch)))
                 continue
-            current.append(ch)
-        if current:
-            out.append("".join(current))
+            current.extend(ch)
+            cur_src.extend([src] * len(ch))
+        flush()
         return out
+
+    def _basic(self, text: str) -> list[str]:
+        return [w for w, _ in self._basic_with_maps(text)]
+
+    def _wordpiece(self, word: str):
+        """[(id, norm_start, norm_end)] or None if the word maps to UNK."""
+        start = 0
+        pieces: list[tuple[int, int, int]] = []
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = self.vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return None
+            pieces.append((cur, start, end))
+            start = end
+        return pieces
 
     def tokenize(self, text: str) -> list[int]:
         ids: list[int] = []
         unk = self.special_ids["unk"]
         for word in self._basic(text):
-            if len(word) > 100:
-                ids.append(unk)
-                continue
-            start = 0
-            pieces: list[int] = []
-            ok = True
-            while start < len(word):
-                end = len(word)
-                cur = None
-                while start < end:
-                    sub = word[start:end]
-                    if start > 0:
-                        sub = "##" + sub
-                    if sub in self.vocab:
-                        cur = self.vocab[sub]
-                        break
-                    end -= 1
-                if cur is None:
-                    ok = False
-                    break
-                pieces.append(cur)
-                start = end
-            ids.extend(pieces if ok else [unk])
+            pieces = None if len(word) > 100 else self._wordpiece(word)
+            ids.extend([unk] if pieces is None else [p[0] for p in pieces])
         return ids
+
+    def tokenize_with_offsets(
+        self, text: str
+    ) -> tuple[list[int], list[tuple[int, int]]]:
+        ids: list[int] = []
+        offsets: list[tuple[int, int]] = []
+        unk = self.special_ids["unk"]
+        for word, src in self._basic_with_maps(text):
+            word_span = (src[0], src[-1] + 1)
+            pieces = None if len(word) > 100 else self._wordpiece(word)
+            if pieces is None:
+                ids.append(unk)
+                offsets.append(word_span)
+                continue
+            for pid, a, b in pieces:
+                ids.append(pid)
+                offsets.append((src[a], src[b - 1] + 1))
+        return ids, offsets

@@ -199,6 +199,106 @@ void encode_text(const Vocab& vocab, const char* text,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Offset-tracking variant: every emitted token id carries the [start, end)
+// *codepoint* span of the original text it came from, so Python can slice
+// the source string subword-exactly (SQuAD span decoding; the
+// word-granularity fallback in utils/squad.py snaps answers to word
+// boundaries and mangles punctuation-adjacent answers).
+// ---------------------------------------------------------------------------
+
+struct TokenWithMap {
+  std::string text;             // normalized token bytes
+  std::vector<int32_t> src_cp;  // source codepoint index per normalized cp
+};
+
+std::vector<TokenWithMap> basic_tokenize_offsets(const std::string& text,
+                                                 bool lowercase) {
+  std::vector<TokenWithMap> tokens;
+  TokenWithMap current;
+  size_t i = 0;
+  int32_t cp_index = 0;
+  while (i < text.size()) {
+    uint32_t cp = next_codepoint(text, i);
+    int32_t src = cp_index++;
+    if (cp == 0 || cp == 0xFFFD || is_control(cp)) continue;
+    if (is_whitespace(cp)) {
+      if (!current.text.empty()) tokens.push_back(std::move(current));
+      current = TokenWithMap{};
+      continue;
+    }
+    cp = fold(cp, lowercase);
+    if (is_punctuation(cp) || is_cjk(cp)) {
+      if (!current.text.empty()) tokens.push_back(std::move(current));
+      current = TokenWithMap{};
+      TokenWithMap solo;
+      append_codepoint(solo.text, cp);
+      solo.src_cp.push_back(src);
+      tokens.push_back(std::move(solo));
+      continue;
+    }
+    append_codepoint(current.text, cp);
+    current.src_cp.push_back(src);
+  }
+  if (!current.text.empty()) tokens.push_back(std::move(current));
+  return tokens;
+}
+
+void wordpiece_offsets(const Vocab& vocab, const TokenWithMap& tok,
+                       std::vector<int32_t>* ids, std::vector<int32_t>* starts,
+                       std::vector<int32_t>* ends) {
+  const std::string& word = tok.text;
+  int32_t word_s = tok.src_cp.front();
+  int32_t word_e = tok.src_cp.back() + 1;
+  if (word.size() > vocab.max_input_chars_per_word) {
+    ids->push_back(vocab.unk_id);
+    starts->push_back(word_s);
+    ends->push_back(word_e);
+    return;
+  }
+  // byte offset of each codepoint start within `word` (normalized space)
+  std::vector<size_t> cp_byte;
+  for (size_t b = 0; b < word.size();) {
+    cp_byte.push_back(b);
+    next_codepoint(word, b);
+  }
+  size_t start = 0;
+  std::vector<int32_t> pids, pstarts, pends;
+  while (start < word.size()) {
+    size_t end = word.size();
+    int32_t cur_id = -1;
+    while (start < end) {
+      std::string sub = word.substr(start, end - start);
+      if (start > 0) sub = "##" + sub;
+      auto it = vocab.token_to_id.find(sub);
+      if (it != vocab.token_to_id.end()) {
+        cur_id = it->second;
+        break;
+      }
+      do {
+        --end;
+      } while (end > start && (word[end] & 0xC0) == 0x80);
+    }
+    if (cur_id < 0) {
+      ids->push_back(vocab.unk_id);
+      starts->push_back(word_s);
+      ends->push_back(word_e);
+      return;
+    }
+    size_t a = std::lower_bound(cp_byte.begin(), cp_byte.end(), start) -
+               cp_byte.begin();
+    size_t b = std::lower_bound(cp_byte.begin(), cp_byte.end(), end) -
+               cp_byte.begin();
+    pids.push_back(cur_id);
+    pstarts.push_back(tok.src_cp[a]);
+    pends.push_back(tok.src_cp[b - 1] + 1);
+    start = end;
+  }
+  ids->insert(ids->end(), pids.begin(), pids.end());
+  starts->insert(starts->end(), pstarts.begin(), pstarts.end());
+  ends->insert(ends->end(), pends.begin(), pends.end());
+}
+
 }  // namespace
 
 extern "C" {
@@ -257,6 +357,26 @@ int64_t wp_encode(void* handle, const char* text, int32_t* out,
   int64_t n = static_cast<int64_t>(ids.size());
   std::memcpy(out, ids.data(),
               sizeof(int32_t) * std::min<int64_t>(n, capacity));
+  return n;
+}
+
+// Encodes one text with per-token [start, end) codepoint offsets into the
+// original string. Writes at most `capacity` entries into each array;
+// returns the number of tokens produced (may exceed capacity to signal
+// truncation).
+int64_t wp_encode_offsets(void* handle, const char* text, int32_t* out_ids,
+                          int32_t* out_starts, int32_t* out_ends,
+                          int64_t capacity) {
+  auto* vocab = static_cast<Vocab*>(handle);
+  std::vector<int32_t> ids, starts, ends;
+  for (const auto& tok : basic_tokenize_offsets(text, vocab->lowercase)) {
+    wordpiece_offsets(*vocab, tok, &ids, &starts, &ends);
+  }
+  int64_t n = static_cast<int64_t>(ids.size());
+  int64_t m = std::min<int64_t>(n, capacity);
+  std::memcpy(out_ids, ids.data(), sizeof(int32_t) * m);
+  std::memcpy(out_starts, starts.data(), sizeof(int32_t) * m);
+  std::memcpy(out_ends, ends.data(), sizeof(int32_t) * m);
   return n;
 }
 

@@ -102,12 +102,14 @@ def load_squad_json(path: str) -> list[dict]:
 def tokenize_with_offsets(
     text: str, tokenize: Callable[[str], list[int]]
 ) -> tuple[list[int], list[tuple[int, int]]]:
-    """Token ids + per-token (char_start, char_end) spans.
+    """Token ids + per-token (char_start, char_end) spans — word-granular
+    FALLBACK for opaque tokenize callables.
 
     Tokenizes whitespace-delimited words independently and assigns each
-    word's character span to all of its sub-word pieces — word-boundary
-    granularity, which is what SQuAD answers align to. Used to decode
-    predicted token spans back to answer text for EM/F1.
+    word's character span to all of its sub-word pieces, so decoded answers
+    snap to word boundaries (punctuation attached to a word leaks into the
+    decoded text). Prefer passing ``offsets_fn`` to :func:`featurize` — e.g.
+    ``WordPieceTokenizer.tokenize_with_offsets`` — which is subword-exact.
     """
     ids: list[int] = []
     offsets: list[tuple[int, int]] = []
@@ -147,18 +149,24 @@ def featurize(
     sep_id: int = 102,
     pad_id: int = 0,
     is_training: bool = True,
+    offsets_fn: Callable[[str], tuple[list, list]] | None = None,
 ) -> list[dict]:
     """[CLS] question [SEP] context-window [SEP] features.
 
-    Answer spans are located by tokenizing the text before the answer start
-    (a tokenizer-agnostic char->token mapping). Training features whose
-    window does not contain the answer point both positions at [CLS]
-    (index 0), mirroring HF semantics.
+    Answer char spans are mapped to token spans through per-token character
+    offsets. ``offsets_fn(text) -> (ids, [(char_start, char_end)])`` supplies
+    subword-exact offsets (e.g. the native tokenizer's
+    ``tokenize_with_offsets``); without it a word-granular fallback is used.
+    Training features whose window does not contain the answer point both
+    positions at [CLS] (index 0), mirroring HF semantics.
     """
     features = []
     for ex in examples:
         q_ids = tokenize(ex["question"])
-        c_ids, c_offsets = tokenize_with_offsets(ex["context"], tokenize)
+        if offsets_fn is not None:
+            c_ids, c_offsets = offsets_fn(ex["context"])
+        else:
+            c_ids, c_offsets = tokenize_with_offsets(ex["context"], tokenize)
         q_len = len(q_ids) + 2  # CLS + question + SEP
         window_len = max_seq - q_len - 1  # room for trailing SEP
         if window_len <= 0:

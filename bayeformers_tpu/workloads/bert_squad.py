@@ -88,12 +88,16 @@ def load_squad(data_dir: str | None, tokenizer_path: str | None,
                 if os.path.isfile(tokenizer_path)
                 else os.path.join(tokenizer_path, "vocab.txt")
             )
-            tokenize = WordPieceTokenizer(vocab).tokenize
+            wp = WordPieceTokenizer(vocab)
+            tokenize = wp.tokenize
+            # subword-exact char offsets for span mapping/decoding
+            offsets_fn = wp.tokenize_with_offsets
         else:
             from transformers import BertTokenizerFast
 
             tok = BertTokenizerFast.from_pretrained(tokenizer_path)
             tokenize = lambda text: tok(text, add_special_tokens=False)["input_ids"]
+            offsets_fn = None
         cache = os.path.join(data_dir, f"features_{max_seq}_{DOC_STRIDE}.npz")
         if os.path.exists(cache):
             z = np.load(cache, allow_pickle=True)
@@ -106,11 +110,12 @@ def load_squad(data_dir: str | None, tokenizer_path: str | None,
         train_feats = squad_lib.featurize(
             squad_lib.load_squad_json(train_json), tokenize,
             max_seq=max_seq, doc_stride=DOC_STRIDE, is_training=True,
+            offsets_fn=offsets_fn,
         )
         dev_examples = squad_lib.load_squad_json(dev_json)
         dev_feats = squad_lib.featurize(
             dev_examples, tokenize, max_seq=max_seq, doc_stride=DOC_STRIDE,
-            is_training=False,
+            is_training=False, offsets_fn=offsets_fn,
         )
         train_arrays = _features_to_arrays(train_feats, True)
         dev_arrays = _features_to_arrays(dev_feats, False)
@@ -168,6 +173,7 @@ def train(
     limit_batches: int | None = None,
     fused: bool = True,
     save_dir: str | None = None,
+    resume: bool = False,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
     writer = MetricsWriter(logs, name)
@@ -229,6 +235,16 @@ def train(
 
     # ---------------- Phase B-D: conversion, eval, Bayesian train ----------
     bmodel, bparams = bf.to_bayesian(bundle.apply_fn, params, delta=delta, freeze=True)
+
+    # checkpoint resume (mirrors bert_glue; the reference is save-only,
+    # SURVEY.md §5): continue the Bayesian phase from the latest epoch
+    start_epoch = 0
+    if resume and save_dir:
+        step_n = ckpt_lib.latest_step(save_dir)
+        if step_n is not None:
+            bparams, _ = ckpt_lib.load_checkpoint(save_dir, bparams, step=step_n)
+            start_epoch = int(step_n)
+            print(f"[bert_squad] resumed from {save_dir} step {step_n}")
 
     eval_step = training.make_elbo_eval_step(
         bmodel, samples, loss_fn=training.qa_span_loss, fused=fused,
@@ -300,7 +316,7 @@ def train(
     )
 
     with dumper.section("bayesian_train"):
-        for epoch in range(b_epochs):
+        for epoch in range(start_epoch, b_epochs):
             pbar = tqdm(batch_iter(train_data, batch_size, seed=seed + 100 + epoch),
                         total=n_batches, desc=f"baye {epoch}")
             for i, batch in enumerate(pbar):
@@ -314,12 +330,18 @@ def train(
             writer.scalars("bayesian_test", metrics, epoch)
             dumper.record(**{f"epoch_{epoch}_{k2}": v for k2, v in metrics.items()})
             print(f"[baye {epoch}] {metrics}")
+            if save_dir:
+                ckpt_lib.save_checkpoint(
+                    save_dir, bparams, step=epoch + 1,
+                    metadata={"delta": delta, "weight_decay": weight_decay,
+                              **metrics},
+                )
 
-    if save_dir:
-        ckpt_lib.save_checkpoint(
-            save_dir, bparams, step=b_epochs,
-            metadata={"delta": delta, "weight_decay": weight_decay, **metrics},
-        )
+    if start_epoch >= b_epochs and start_epoch > 0:
+        # resumed past the end: evaluate the restored parameters
+        key, k = jax.random.split(key)
+        metrics = eval_bayesian(bparams, k)
+        writer.scalars("bayesian_test", metrics, start_epoch)
     writer.close()
     dumper.flush()
     return float(metrics.get("f1", metrics.get("acc", 0.0)))
@@ -347,6 +369,8 @@ def main():
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations (variational numerics stay f32)")
     parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue the Bayesian phase from --save-dir")
     parser.add_argument("--hypersearch", type=int, default=0)
     args = parser.parse_args()
 
@@ -354,15 +378,18 @@ def main():
         exp=args.exp, data_dir=args.data_dir, tokenizer=args.tokenizer,
         logs=args.logs, epochs=args.epochs, b_epochs=args.b_epochs,
         samples=args.samples, batch_size=args.batch_size, max_seq=args.max_seq,
-        lr=args.lr, size=args.size, pretrained=args.pretrained, seed=args.seed,
+        lr=args.lr, size=args.size, bf16=args.bf16,
+        pretrained=args.pretrained, seed=args.seed,
         limit_batches=args.limit_batches, fused=not args.no_fused,
-        save_dir=args.save_dir,
+        save_dir=args.save_dir, resume=args.resume,
     )
     t0 = time.time()
     if args.hypersearch:
+        # reference ranges: DELTA log (1e-2, 1e-1), WEIGHT_DECAY linear in
+        # (1e-3, 0) i.e. uniform over [0, 1e-3] (`examples/bert_squad.py`)
         hs = HyperSearch(seed=args.seed)
         hs["delta"] = (1e-2, 1e-1), HyperSearch.LOG_SCALE
-        hs["weight_decay"] = (1e-6, 1e-3), HyperSearch.LINEAR_SCALE
+        hs["weight_decay"] = (0.0, 1e-3), HyperSearch.LINEAR_SCALE
         best = hs.search(train, iterations=args.hypersearch, **kwargs)
         print(f"best score={best.value:.4f} with {best.hyperparameters}")
     else:

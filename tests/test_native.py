@@ -73,3 +73,42 @@ def test_duplicate_vocab_entries_last_wins(tmp_path):
     path.write_text("\n".join(["[PAD]", "[UNK]", "tok", "other", "tok"]))
     tok = WordPieceTokenizer(str(path))
     assert tok.tokenize("tok") == [4]
+
+
+def test_offsets_native_matches_python(vocab_path):
+    tok = WordPieceTokenizer(vocab_path)
+    py = WordPieceTokenizer(vocab_path, force_python=True)
+    if tok.backend != "native":
+        pytest.skip("no C++ compiler available")
+    for text in TEXTS:
+        assert tok.tokenize_with_offsets(text) == py.tokenize_with_offsets(text), text
+
+
+def test_offsets_are_subword_exact(vocab_path):
+    tok = WordPieceTokenizer(vocab_path)
+    text = "The quick brown fox jumped over the lazy dog."
+    ids, offsets = tok.tokenize_with_offsets(text)
+    assert ids == tok.tokenize(text)
+    # every offset slices to the surface form of its piece
+    slices = [text[s:e] for s, e in offsets]
+    assert slices[:4] == ["The", "quick", "brown", "fox"]
+    # subword split: "jumped" -> jump + ##ed with adjacent exact spans
+    i = slices.index("jump")
+    assert slices[i + 1] == "ed"
+    assert offsets[i][1] == offsets[i + 1][0]
+    # trailing '.' is its own token with its own 1-char span (the
+    # word-granular fallback would blur it into the word span)
+    assert slices[-1] == "."
+    assert offsets[-1][1] - offsets[-1][0] == 1
+
+
+def test_offsets_accent_folding(vocab_path):
+    # 'café' -> ca + ##fe; the accented char folds but the source span
+    # still covers the original codepoints
+    tok = WordPieceTokenizer(vocab_path, force_python=True)
+    text = "café"
+    ids, offsets = tok.tokenize_with_offsets(text)
+    assert [text[s:e] for s, e in offsets] == ["ca", "fé"]
+    nat = WordPieceTokenizer(vocab_path)
+    if nat.backend == "native":
+        assert nat.tokenize_with_offsets(text) == (ids, offsets)

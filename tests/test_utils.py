@@ -280,3 +280,48 @@ def test_glue_truncation():
     )
     assert out["input_ids"].shape == (1, 24)
     assert out["attention_mask"][0].sum() == 24  # filled to the brim
+
+
+def test_squad_punctuation_exact_decode_with_offsets_fn(tmp_path):
+    """Answer abutting punctuation decodes exactly when featurize gets
+    subword-exact offsets (VERDICT weak #5: the word-granular fallback
+    returns 'Paris,' here)."""
+    from bayeformers_tpu.native import WordPieceTokenizer
+
+    vocab = (
+        ["[PAD]"] + [f"u{i}" for i in range(99)] + ["[UNK]", "[CLS]", "[SEP]",
+         "he", "was", "born", "in", "paris", ",", ".", "france", "where"]
+    )
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+    tok = WordPieceTokenizer(str(vp))
+
+    context = "He was born in Paris, France."
+    ans_text = "Paris"
+    examples = [{
+        "qid": "q1", "question": "where",
+        "context": context,
+        "answers": [{"text": ans_text, "answer_start": context.index("Paris")}],
+    }]
+    feats = squad_lib.featurize(
+        examples, tok.tokenize, max_seq=32, doc_stride=8,
+        offsets_fn=tok.tokenize_with_offsets,
+    )
+    f = feats[0]
+    # the training span covers exactly the 'paris' token (not the comma)
+    assert f["start_position"] == f["end_position"]
+    n = len(f["input_ids"])
+    start = np.zeros(n); end = np.zeros(n)
+    start[f["start_position"]] = 9.0
+    end[f["end_position"]] = 9.0
+    (s, e), _ = squad_lib.best_span(start, end, f["context_offset"])
+    assert squad_lib.decode_span(f, context, s, e) == "Paris"
+
+    # contrast: the word-granular fallback drags the comma along
+    feats_wg = squad_lib.featurize(
+        examples, tok.tokenize, max_seq=32, doc_stride=8,
+    )
+    fw = feats_wg[0]
+    assert squad_lib.decode_span(
+        fw, context, fw["start_position"], fw["end_position"]
+    ) == "Paris,"

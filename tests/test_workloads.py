@@ -42,3 +42,23 @@ def test_bert_glue_workload_tiny(tmp_path):
     # checkpoint written and resumable
     from bayeformers_tpu.utils import checkpoint as ckpt_lib
     assert ckpt_lib.latest_step(str(tmp_path / "ckpt")) == 1
+
+
+@pytest.mark.slow
+def test_bert_squad_workload_tiny_with_resume(tmp_path):
+    from bayeformers_tpu.workloads import bert_squad
+    from bayeformers_tpu.utils import checkpoint as ckpt_lib
+
+    kwargs = dict(
+        exp="t-squad", data_dir=str(tmp_path / "nodata"), delta=0.05,
+        weight_decay=0.0, logs=str(tmp_path / "logs"), epochs=1, samples=2,
+        batch_size=4, max_seq=64, size="tiny", limit_batches=2, seed=0,
+        save_dir=str(tmp_path / "ckpt"),
+    )
+    score = bert_squad.train(b_epochs=1, **kwargs)
+    assert np.isfinite(score)
+    assert ckpt_lib.latest_step(str(tmp_path / "ckpt")) == 1
+    # resume continues from epoch 1 and saves epoch 2
+    score2 = bert_squad.train(b_epochs=2, resume=True, **kwargs)
+    assert np.isfinite(score2)
+    assert ckpt_lib.latest_step(str(tmp_path / "ckpt")) == 2
