@@ -17,12 +17,15 @@ MXU-friendly, no per-sample weight materialization at all).
 
 The ELBO's KL term is computed ANALYTICALLY here (`core/distributions.
 gaussian_kl`) for Gaussian/MOPED priors — there is no single sampled weight
-to score. For the scale-mixture prior (no closed form) an MC estimate at the
-shared draw is used.
+to score. For the scale-mixture prior (no closed form) a multi-draw MC
+estimate is used (``kl_draws``, default 4).
 
 Implemented, like the fused tier, as a `flax.linen.intercept_methods` pass
 over any linen model (nn/fused.py conventions: S-major tiling, converted
-paths from the surgery spec).
+paths from the surgery spec). On TPU the perturbation matmul
+``(x*r) @ (sigma*eps)`` runs through the Pallas sampled-matmul with
+``mu = 0`` — eps is generated on-chip per tile, so the (S, K, N)
+perturbation never materializes in HBM.
 """
 from __future__ import annotations
 
@@ -35,6 +38,10 @@ import jax.numpy as jnp
 from bayeformers_tpu.core import distributions as dist
 from bayeformers_tpu.core import prior as prior_lib
 from bayeformers_tpu.nn.fused import SEP, tile_samples, untile_samples
+from bayeformers_tpu.ops import common as ops_common
+from bayeformers_tpu.ops import sampled_linear as ops_linear
+
+KL_DRAWS = 4
 
 
 def _rademacher(key, shape):
@@ -48,13 +55,14 @@ def flipout_mc_apply(
     key: jax.Array,
     n_samples: int,
     *args,
+    kl_draws: int = KL_DRAWS,
     **kwargs,
 ):
     """S flipout forwards as one super-batched pass.
 
     Returns ``(outputs (S, B, ...), aux)`` with aux:
     - ``kl``: scalar analytic KL(q||prior) summed over converted leaves
-      (MC-estimated for the mixture prior);
+      (``kl_draws``-draw MC estimate for the mixture prior);
     - ``log_prior`` / ``log_variational_posterior``: ``(-kl, 0)`` shaped (S,)
       so existing ELBO plumbing (`elbo.elbo_loss`) works unchanged.
     """
@@ -72,13 +80,19 @@ def flipout_mc_apply(
         if spec.moped:
             pm = bparams.prior_mu[path]
             return dist.gaussian_kl(mu, sigma, pm, prior_lib.MOPED_PRIOR_SIGMA)
-        # mixture prior: no closed form; one-draw MC estimate of
-        # E_q[log q - log p] at w = mu + sigma*eps
-        eps = jax.random.normal(jax.random.fold_in(k, 1), mu.shape, mu.dtype)
-        w = mu + sigma * eps
-        log_q = dist.gaussian_log_prob_from_eps(eps, sigma)
-        log_p = dist.scale_mixture_log_prob(w, *mixture)
-        return log_q - log_p
+        # mixture prior: no closed form; kl_draws-draw MC estimate of
+        # E_q[log q - log p] at w = mu + sigma*eps (a single draw makes the
+        # KL gradient needlessly noisy relative to flipout's low-variance
+        # likelihood term)
+        def one(dk):
+            eps = jax.random.normal(dk, mu.shape, mu.dtype)
+            w = mu + sigma * eps
+            log_q = dist.gaussian_log_prob_from_eps(eps, sigma)
+            log_p = dist.scale_mixture_log_prob(w, *mixture)
+            return log_q - log_p
+
+        draws = jax.random.split(jax.random.fold_in(k, 1), kl_draws)
+        return jnp.mean(jax.vmap(one)(draws))
 
     def handle_dense(mod, x):
         kpath = SEP.join(mod.path + ("kernel",))
@@ -91,10 +105,20 @@ def flipout_mc_apply(
         xs = x.reshape(S, -1, K)
         M = xs.shape[1]
 
-        eps = jax.random.normal(jax.random.fold_in(k, 0), (S, K, N), mu.dtype)
         r = _rademacher(jax.random.fold_in(k, 2), (S, M, K))
         s_out = _rademacher(jax.random.fold_in(k, 3), (S, M, N))
-        y = xs @ mu + jnp.einsum("smk,skn->smn", xs * r, sigma[None] * eps) * s_out
+        # perturbation matmul (x*r) @ (sigma*eps) == sampled_dense with mu=0:
+        # on TPU the Pallas kernel generates eps on-chip per weight tile, so
+        # the (S, K, N) perturbation never round-trips HBM (off-TPU the op
+        # falls back to an equivalent jnp path)
+        seeds = ops_common.seed_from_key(
+            jax.random.split(jax.random.fold_in(k, 0), S)
+        )
+        x_r = (xs * r.astype(xs.dtype)).astype(xs.dtype)
+        pert = ops_linear.sampled_dense(x_r, jnp.zeros_like(mu), rho, seeds)
+        y = xs @ mu.astype(xs.dtype) + pert.astype(xs.dtype) * s_out.astype(
+            xs.dtype
+        )
 
         if kpath not in seen:
             seen.add(kpath)

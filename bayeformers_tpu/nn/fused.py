@@ -157,12 +157,23 @@ def fused_mc_apply(
         ids_s = ids.reshape(S, -1)
         out = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(tables, ids_s)
         out = out.astype(getattr(mod, "dtype", None) or out.dtype)
+        # Log-probs are evaluated directly AT the materialized tables, so
+        # they provably share the forward pass's weight draw. (Calling the
+        # split logprob kernel here would evaluate them at a DIFFERENT
+        # deterministic eps stream than sampled_weights' full-K stream on
+        # TPU — the same-draw invariant of ops/common.py would break
+        # silently; CPU tests never catch it because both ops share the
+        # naive jax.random stream there.)
+        sigma = dist.sigma_from_rho(rho)
+        lq = jax.vmap(lambda t: dist.gaussian_log_prob(t, mu, sigma))(tables)
         if spec.moped:
-            lq, lp = ops_logprob.sampled_logprobs(
-                mu, rho, seeds, prior_mu=bparams.prior_mu[epath]
-            )
+            pmu = bparams.prior_mu[epath]
+            psig = jnp.full_like(pmu, prior_lib.MOPED_PRIOR_SIGMA)
+            lp = jax.vmap(lambda t: dist.gaussian_log_prob(t, pmu, psig))(tables)
         else:
-            lq, lp = ops_logprob.sampled_logprobs(mu, rho, seeds, mixture=mixture)
+            lp = jax.vmap(
+                lambda t: dist.scale_mixture_log_prob(t, *mixture)
+            )(tables)
         if epath not in seen:
             seen.add(epath)
             collected.append((lq, lp))

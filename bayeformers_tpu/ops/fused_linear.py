@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from bayeformers_tpu.core.distributions import LOG_SQRT_2PI
 from bayeformers_tpu.core.prior import MOPED_PRIOR_SIGMA
 from bayeformers_tpu.ops import common, config
+from bayeformers_tpu.ops import fused_backward as bwd_lib
 from bayeformers_tpu.ops import logprob as logprob_lib
 from bayeformers_tpu.ops import sampled_linear as split_lib
 
@@ -373,43 +374,27 @@ def _bwd(prior, res, cotangents):
 
 def _bwd_common(prior, x, mu, rho, prior_mu, w, seeds, cotangents):
     g_y, g_q, g_p = cotangents
-    sigma = jax.nn.softplus(rho)
-    sigmoid = jax.nn.sigmoid(rho)
-    eps = (w - mu[None]) / sigma[None]
 
-    # matmul terms: bf16 inputs when activations are bf16, f32 accumulation
+    # dx matmul: bf16 inputs when activations are bf16, f32 accumulation
     dt = x.dtype if x.dtype == jnp.bfloat16 else config.dot_dtype()
     f32 = jnp.float32
     dx = jnp.einsum(
         "smn,skn->smk", g_y.astype(dt), w.astype(dt), preferred_element_type=f32
     ).astype(x.dtype)
-    dw = jnp.einsum(
-        "smk,smn->skn", x.astype(dt), g_y.astype(dt), preferred_element_type=f32
+
+    # dmu/drho: tile-fused reduction — the per-sample dw (S, K, N) never
+    # materializes in HBM (ops/fused_backward.py); on CPU the same four
+    # accumulators come from an equivalent dense XLA path.
+    mixture = prior[1:] if prior[0] == "mixture" else None
+    a, b, u, v = bwd_lib.reduce_abuv(
+        x, g_y.astype(x.dtype), w, mu, g_p, mixture=mixture,
+        want_u=prior[0] != "gaussian_on_mu",
     )
-
-    # prior score at w
-    gp = g_p[:, None, None]
-    if prior[0] == "gaussian":
-        score = -(w - prior_mu[None]) / MOPED_PRIOR_SIGMA**2
-        dprior_mu = -jnp.sum(gp * score, axis=0)
-        dmu_prior = jnp.sum(gp * score, axis=0)
-    elif prior[0] == "gaussian_on_mu":
-        # prior centered on mu: the sample path (+score) and center path
-        # (-score) cancel exactly in d/dmu; only rho feels the prior.
-        score = -(sigma[None] * eps) / MOPED_PRIOR_SIGMA**2
+    dmu, drho, dprior_mu = bwd_lib.finalize(
+        prior, a, b, u, v, mu, rho, prior_mu, g_q, g_p
+    )
+    if prior[0] != "gaussian":
         dprior_mu = jnp.zeros_like(prior_mu)
-        dmu_prior = jnp.zeros_like(mu)
-    else:
-        score = logprob_lib._mixture_score(w, prior[1], prior[2], prior[3])
-        dprior_mu = jnp.zeros_like(prior_mu)
-        dmu_prior = jnp.sum(gp * score, axis=0)
-
-    dmu = jnp.sum(dw, axis=0) + dmu_prior
-    drho = (
-        jnp.sum(dw * eps, axis=0)
-        + jnp.sum(gp * score * eps, axis=0)
-        - jnp.sum(g_q) / sigma
-    ) * sigmoid
     dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
     return dx, dmu, drho, dseeds, dprior_mu
 

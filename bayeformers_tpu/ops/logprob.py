@@ -80,9 +80,19 @@ def _logprob_kernel(
     sigma = jax.nn.softplus(rho_ref[:])
     w = mu_ref[:] + sigma * eps
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bk, bn), 0) + kk * bk
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bk, bn), 1) + j * bn
-    mask = (rows < k_act) & (cols < n_act)
+    # Aligned layers need no masking: when the padded dims equal the actual
+    # ones the mask is a compile-time True, so the iota/compare/select work
+    # is skipped entirely (same fast path as fused_linear._kernel; this is
+    # the path embeddings and big-K layers take every step).
+    aligned = (pl.num_programs(2) * bk == k_act) and (
+        pl.num_programs(1) * bn == n_act
+    )
+    if aligned:
+        mask = None
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bk, bn), 0) + kk * bk
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bk, bn), 1) + j * bn
+        mask = (rows < k_act) & (cols < n_act)
 
     logq_terms = -LOG_SQRT_2PI - jnp.log(sigma) - 0.5 * eps * eps
     if prior[0] == "gaussian":
@@ -93,9 +103,13 @@ def _logprob_kernel(
         _, pi, s1, s2 = prior
         logp_terms = _mixture_log_pdf(w, pi, s1, s2)
 
-    zero = jnp.zeros_like(logq_terms)
-    t_q = jnp.sum(jnp.where(mask, logq_terms, zero))
-    t_p = jnp.sum(jnp.where(mask, logp_terms, zero))
+    if mask is None:
+        t_q = jnp.sum(logq_terms)
+        t_p = jnp.sum(logp_terms)
+    else:
+        zero = jnp.zeros_like(logq_terms)
+        t_q = jnp.sum(jnp.where(mask, logq_terms, zero))
+        t_p = jnp.sum(jnp.where(mask, logp_terms, zero))
 
     # The (S, 1) accumulators live whole in SMEM (index by s); the TPU grid is
     # sequential so read-modify-write accumulation is race-free.

@@ -218,8 +218,14 @@ def _sampled_dense_bwd(res, g):
     w = regenerate_weights(mu, rho, seeds)
     sigma = jax.nn.softplus(rho)
     eps = (w - mu[None]) / sigma[None]
-    dx = jnp.einsum("smn,skn->smk", g, w)
-    dw = jnp.einsum("smk,smn->skn", x, g)
+    # mirror fused_linear._bwd_common: bf16 matmul inputs are fine but the
+    # accumulation must be f32 (dmu/drho are f32 parameters; dx is cast back
+    # to the activation dtype)
+    f32 = jnp.float32
+    dx = jnp.einsum(
+        "smn,skn->smk", g, w.astype(g.dtype), preferred_element_type=f32
+    ).astype(x.dtype)
+    dw = jnp.einsum("smk,smn->skn", x, g, preferred_element_type=f32)
     dmu = jnp.sum(dw, axis=0)
     drho = jnp.sum(dw * eps, axis=0) * jax.nn.sigmoid(rho)
     dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)

@@ -38,12 +38,15 @@ def make_dp_train_step(
     fused: bool = True,
     input_keys: tuple[str, ...] = ("input_ids", "attention_mask", "token_type_ids"),
     axis: str = "dp",
+    estimator: str | None = None,
 ):
     """Jitted ``step(bparams, opt_state, key, batch)`` where every array in
     ``batch`` is sharded on its leading axis over ``axis`` and everything
     else is replicated. The global batch size must divide the dp size."""
+    from bayeformers_tpu.training import pick_mc
+
     n_dev = mesh.shape[axis]
-    mc = bmodel.mc_apply_fused if fused else bmodel.mc_apply
+    mc = pick_mc(bmodel, fused, estimator)
 
     def local_step(bparams, opt_state, key, batch):
         inputs = {k: batch[k] for k in input_keys if k in batch}

@@ -58,6 +58,22 @@ def qa_span_loss(out, batch):
     }
 
 
+def pick_mc(bmodel: BayesianModel, fused: bool, estimator: Optional[str] = None):
+    """Resolve the MC forward: 'fused' (Pallas), 'naive' (vmapped tier-A), or
+    'flipout' (per-example decorrelated perturbations, nn/flipout.py).
+    ``estimator`` overrides the legacy ``fused`` flag when given."""
+    if estimator is None:
+        estimator = "fused" if fused else "naive"
+    try:
+        return {
+            "fused": bmodel.mc_apply_fused,
+            "naive": bmodel.mc_apply,
+            "flipout": bmodel.mc_apply_flipout,
+        }[estimator]
+    except KeyError:
+        raise ValueError(f"unknown estimator {estimator!r}") from None
+
+
 def make_elbo_train_step(
     bmodel: BayesianModel,
     tx: optax.GradientTransformation,
@@ -66,12 +82,13 @@ def make_elbo_train_step(
     loss_fn: Callable = classification_loss,
     fused: bool = True,
     input_keys: tuple[str, ...] = ("input_ids", "attention_mask", "token_type_ids"),
+    estimator: Optional[str] = None,
 ):
     """Returns jitted ``step(bparams, opt_state, key, batch) ->
     (bparams, opt_state, metrics)``. ``batch`` maps input_keys to model
     inputs plus whatever ``loss_fn`` needs (labels / positions)."""
 
-    mc = bmodel.mc_apply_fused if fused else bmodel.mc_apply
+    mc = pick_mc(bmodel, fused, estimator)
 
     @jax.jit
     def step(bparams: BayesParams, opt_state, key, batch):
@@ -108,16 +125,16 @@ def make_elbo_eval_step(
     loss_fn: Callable = classification_loss,
     fused: bool = True,
     input_keys: tuple[str, ...] = ("input_ids", "attention_mask", "token_type_ids"),
+    estimator: Optional[str] = None,
 ):
     """Returns jitted ``eval_step(bparams, key, batch) -> (out, metrics)``."""
     import functools
 
     # eval never runs backward, so skip writing sampled weights to HBM
-    mc = (
-        functools.partial(bmodel.mc_apply_fused, save_weights=False)
-        if fused
-        else bmodel.mc_apply
-    )
+    if (estimator is None and fused) or estimator == "fused":
+        mc = functools.partial(bmodel.mc_apply_fused, save_weights=False)
+    else:
+        mc = pick_mc(bmodel, fused, estimator)
 
     @jax.jit
     def eval_step(bparams: BayesParams, key, batch):

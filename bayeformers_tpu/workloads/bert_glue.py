@@ -32,6 +32,8 @@ from tqdm import tqdm
 import bayeformers_tpu as bf
 from bayeformers_tpu import training
 from bayeformers_tpu.models import bert as bert_lib
+from bayeformers_tpu.parallel import mesh as mesh_lib
+from bayeformers_tpu.parallel import train as parallel_lib
 from bayeformers_tpu.utils import checkpoint as ckpt_lib
 from bayeformers_tpu.utils import glue as glue_lib
 from bayeformers_tpu.utils import metrics as metrics_lib
@@ -138,6 +140,9 @@ def train(
     save_dir: str | None = None,
     resume: bool = False,
     profile_dir: str | None = None,
+    dp: int = 1,
+    tp: int = 1,
+    estimator: str | None = None,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
     writer = MetricsWriter(logs, name)
@@ -147,6 +152,7 @@ def train(
     # task generically (`examples/bert_glue.py:98-102`); here label count,
     # regression-ness, and the official metric all come from the registry.
     spec = glue_lib.task_spec(task)
+    estimator = estimator or ("fused" if fused else "naive")
     regression = spec.regression
     loss_fn = (
         training.regression_loss if regression else training.classification_loss
@@ -170,6 +176,26 @@ def train(
     input_keys = ("input_ids", "attention_mask") + (
         ("token_type_ids",) if bundle.uses_token_type_ids else ()
     )
+
+    # Multi-device mesh (supersedes the reference's 4-GPU DataParallel,
+    # `examples/bert_squad.py:245`): dp shards the batch; tp shards the
+    # Megatron way (GSPMD tier only — a Pallas kernel is a black box to the
+    # partitioner, so the fused tier scales via shard_map data parallelism).
+    mesh = None
+    use_shard_map = estimator in ("fused", "flipout")  # Pallas-backed tiers
+    if dp != 1 or tp != 1:
+        if dp <= 0:
+            dp = len(jax.devices()) // tp
+        if batch_size % dp:
+            raise ValueError(f"batch_size {batch_size} must divide dp={dp}")
+        if use_shard_map and tp != 1:
+            raise ValueError("tp>1 requires the GSPMD tier (--estimator naive)")
+        mesh = mesh_lib.make_mesh(dp, tp)
+        print(f"[bert_glue] mesh dp={dp} tp={tp} "
+              f"({'shard_map+Pallas' if use_shard_map else 'GSPMD'})")
+
+    def shard(batch):
+        return mesh_lib.shard_batch(batch, mesh) if mesh is not None else batch
 
     # ---------------- Phase A: frequentist fine-tune -----------------------
     params = bundle.params
@@ -228,7 +254,9 @@ def train(
             for i, batch in enumerate(pbar):
                 if limit_batches and i >= limit_batches:
                     break
-                params, opt_state, loss = f_step(params, opt_state, batch)
+                # under a mesh the sharded batch makes plain jit data-parallel
+                # (GSPMD inserts the gradient all-reduce)
+                params, opt_state, loss = f_step(params, opt_state, shard(batch))
                 pbar.set_postfix(loss=float(loss))
             metrics = eval_frequentist(params)
             writer.scalars("frequentist_test", metrics, epoch)
@@ -240,6 +268,13 @@ def train(
     bmodel, bparams = bf.to_bayesian(
         bundle.apply_fn, params, delta=delta, freeze=True
     )
+    if mesh is not None:
+        if use_shard_map:
+            # shard_map tier: replicated params, batch-sharded step
+            bparams = parallel_lib.replicate(bparams, mesh)
+        else:
+            # GSPMD tier: Megatron tp sharding (dp-only = all-replicated)
+            bparams = mesh_lib.shard_bayes_params(bparams, mesh)
 
     # checkpoint resume (gap-fill over the reference's save-only flow,
     # SURVEY.md §5): continue the Bayesian phase from the latest step
@@ -252,7 +287,8 @@ def train(
             print(f"[bert_glue] resumed from {save_dir} step {step_n}")
 
     eval_step = training.make_elbo_eval_step(
-        bmodel, samples, loss_fn=loss_fn, fused=fused, input_keys=input_keys
+        bmodel, samples, loss_fn=loss_fn, fused=fused, input_keys=input_keys,
+        estimator=estimator,
     )
     # per-example metric keys from loss_fn (acc/acc_std or mse/mse_std)
     sample_keys = ("mse", "mse_std") if regression else ("acc", "acc_std")
@@ -305,10 +341,19 @@ def train(
     )
     btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
     b_opt_state = btx.init(bparams)
-    b_step = training.make_elbo_train_step(
-        bmodel, btx, samples, n_batches, loss_fn=loss_fn, fused=fused,
-        input_keys=input_keys,
-    )
+    if mesh is not None and use_shard_map:
+        # Pallas kernels are opaque to the GSPMD partitioner; shard_map runs
+        # the single-device fused/flipout step per dp shard with an explicit
+        # psum
+        b_step = parallel_lib.make_dp_train_step(
+            bmodel, btx, samples, n_batches, mesh, loss_fn=loss_fn,
+            fused=fused, input_keys=input_keys, estimator=estimator,
+        )
+    else:
+        b_step = training.make_elbo_train_step(
+            bmodel, btx, samples, n_batches, loss_fn=loss_fn, fused=fused,
+            input_keys=input_keys, estimator=estimator,
+        )
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -320,7 +365,9 @@ def train(
                 if limit_batches and i >= limit_batches:
                     break
                 key, k = jax.random.split(key)
-                bparams, b_opt_state, m = b_step(bparams, b_opt_state, k, batch)
+                bparams, b_opt_state, m = b_step(
+                    bparams, b_opt_state, k, shard(batch)
+                )
                 pbar.set_postfix(loss=float(m["loss"]),
                                  **{sample_keys[0]: float(m[sample_keys[0]])})
             key, k = jax.random.split(key)
@@ -375,6 +422,11 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--no-fused", action="store_true")
+    parser.add_argument("--estimator", default=None,
+                        choices=["fused", "naive", "flipout"],
+                        help="MC gradient estimator for the Bayesian phase "
+                             "(flipout: per-example decorrelated "
+                             "perturbations — try --samples 1)")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations (variational numerics stay f32)")
     parser.add_argument("--save-dir", default=None)
@@ -382,6 +434,10 @@ def main():
                         help="continue the Bayesian phase from --save-dir")
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax profiler trace of the Bayesian phase")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel mesh size (0 = all devices / tp)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel mesh size (requires --no-fused)")
     parser.add_argument("--hypersearch", type=int, default=0,
                         help="run N random-search trials over delta/weight_decay")
     args = parser.parse_args()
@@ -394,7 +450,8 @@ def main():
         pretrained=args.pretrained, seed=args.seed,
         limit_batches=args.limit_batches, fused=not args.no_fused,
         save_dir=args.save_dir, resume=args.resume,
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, dp=args.dp, tp=args.tp,
+        estimator=args.estimator,
     )
     t0 = time.time()
     if args.hypersearch:

@@ -30,6 +30,8 @@ from tqdm import tqdm
 import bayeformers_tpu as bf
 from bayeformers_tpu import training
 from bayeformers_tpu.models import bert as bert_lib
+from bayeformers_tpu.parallel import mesh as mesh_lib
+from bayeformers_tpu.parallel import train as parallel_lib
 from bayeformers_tpu.utils import squad as squad_lib
 from bayeformers_tpu.utils import checkpoint as ckpt_lib
 from bayeformers_tpu.utils.dumper import Dumper
@@ -174,6 +176,8 @@ def train(
     fused: bool = True,
     save_dir: str | None = None,
     resume: bool = False,
+    dp: int = 1,
+    tp: int = 1,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
     writer = MetricsWriter(logs, name)
@@ -192,6 +196,25 @@ def train(
     n_batches = train_data["input_ids"].shape[0] // batch_size
     if limit_batches:
         n_batches = min(n_batches, limit_batches)
+
+    # Multi-device mesh — the TPU-native replacement for the reference's
+    # 4-GPU DataParallel on exactly this workload (`bert_squad.py:245`):
+    # dp shards the batch (shard_map for the fused Pallas tier, GSPMD for
+    # the vmapped tier); tp uses the Megatron rules (GSPMD tier only).
+    mesh = None
+    if dp != 1 or tp != 1:
+        if dp <= 0:
+            dp = len(jax.devices()) // tp
+        if batch_size % dp:
+            raise ValueError(f"batch_size {batch_size} must divide dp={dp}")
+        if fused and tp != 1:
+            raise ValueError("tp>1 requires the GSPMD tier (fused=False)")
+        mesh = mesh_lib.make_mesh(dp, tp)
+        print(f"[bert_squad] mesh dp={dp} tp={tp} "
+              f"({'shard_map+Pallas' if fused else 'GSPMD'})")
+
+    def shard(batch):
+        return mesh_lib.shard_batch(batch, mesh) if mesh is not None else batch
 
     def qa_apply(p, **inputs):
         return bundle.apply_fn(p, **inputs)
@@ -227,7 +250,7 @@ def train(
             for i, batch in enumerate(pbar):
                 if limit_batches and i >= limit_batches:
                     break
-                params, opt_state, loss = f_step(params, opt_state, batch)
+                params, opt_state, loss = f_step(params, opt_state, shard(batch))
                 losses.append(float(loss))
                 pbar.set_postfix(loss=float(loss))
             writer.scalar("frequentist/loss", float(np.mean(losses)), epoch)
@@ -235,6 +258,11 @@ def train(
 
     # ---------------- Phase B-D: conversion, eval, Bayesian train ----------
     bmodel, bparams = bf.to_bayesian(bundle.apply_fn, params, delta=delta, freeze=True)
+    if mesh is not None:
+        if fused:
+            bparams = parallel_lib.replicate(bparams, mesh)
+        else:
+            bparams = mesh_lib.shard_bayes_params(bparams, mesh)
 
     # checkpoint resume (mirrors bert_glue; the reference is save-only,
     # SURVEY.md §5): continue the Bayesian phase from the latest epoch
@@ -310,10 +338,16 @@ def train(
     )
     btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
     b_opt_state = btx.init(bparams)
-    b_step = training.make_elbo_train_step(
-        bmodel, btx, samples, n_batches, loss_fn=training.qa_span_loss,
-        fused=fused, input_keys=INPUT_KEYS,
-    )
+    if mesh is not None and fused:
+        b_step = parallel_lib.make_dp_train_step(
+            bmodel, btx, samples, n_batches, mesh,
+            loss_fn=training.qa_span_loss, fused=True, input_keys=INPUT_KEYS,
+        )
+    else:
+        b_step = training.make_elbo_train_step(
+            bmodel, btx, samples, n_batches, loss_fn=training.qa_span_loss,
+            fused=fused, input_keys=INPUT_KEYS,
+        )
 
     with dumper.section("bayesian_train"):
         for epoch in range(start_epoch, b_epochs):
@@ -323,7 +357,9 @@ def train(
                 if limit_batches and i >= limit_batches:
                     break
                 key, k = jax.random.split(key)
-                bparams, b_opt_state, m = b_step(bparams, b_opt_state, k, batch)
+                bparams, b_opt_state, m = b_step(
+                    bparams, b_opt_state, k, shard(batch)
+                )
                 pbar.set_postfix(loss=float(m["loss"]), acc=float(m["acc"]))
             key, k = jax.random.split(key)
             metrics = eval_bayesian(bparams, k)
@@ -371,6 +407,10 @@ def main():
     parser.add_argument("--save-dir", default=None)
     parser.add_argument("--resume", action="store_true",
                         help="continue the Bayesian phase from --save-dir")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel mesh size (0 = all devices / tp)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel mesh size (requires --no-fused)")
     parser.add_argument("--hypersearch", type=int, default=0)
     args = parser.parse_args()
 
@@ -381,7 +421,7 @@ def main():
         lr=args.lr, size=args.size, bf16=args.bf16,
         pretrained=args.pretrained, seed=args.seed,
         limit_batches=args.limit_batches, fused=not args.no_fused,
-        save_dir=args.save_dir, resume=args.resume,
+        save_dir=args.save_dir, resume=args.resume, dp=args.dp, tp=args.tp,
     )
     t0 = time.time()
     if args.hypersearch:

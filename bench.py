@@ -1,14 +1,21 @@
 """Benchmark: BERT-base GLUE-shaped MC-10 ELBO training on one TPU chip.
 
 Prints ONE JSON line:
-  metric      bert_base_glue_mc10_elbo_steps_per_sec (fused Pallas path)
-  vs_baseline speedup over the reference-style implementation expressed in
-              JAX (tier-A: sample full weight matrices into HBM, then dense
-              matmuls — the literal port of `bayeformers/nn/layers/linear.py:
-              97-104` + the S-sample loop of `examples/bert_glue.py:56-73`)
+  metric      bert_base_glue_mc10_elbo_steps_per_sec (fused Pallas path,
+              bf16 activations — the framework's TPU recipe)
+  vs_baseline speedup over the BEST reference-style configuration (tier-A:
+              sample full weight matrices into HBM, then dense matmuls — the
+              literal port of `bayeformers/nn/layers/linear.py:97-104` + the
+              S-sample loop of `examples/bert_glue.py:56-73`), measured at
+              BOTH f32 and bf16 activations and taking the faster one.
 
-Also measures the fused sampled-matmul vs dense matmul microbench ratio
-(BASELINE.md gate: <= 1.3x dense) and reports it in "extra".
+Measurement (this runtime has two traps, both previously hit — see PERF.md):
+every timed region is a `lax.scan` of NSCAN full steps inside ONE jit, so
+per-dispatch overhead (~28 ms on this tunneled runtime — large enough to
+have dominated round-1's per-dispatch micro numbers) is amortized to <2%;
+state (params, opt state, key) chains through the scan so no two steps are
+identical and none can be deduplicated; the sync point is the final step's
+scalar loss. Times are reported as min and median over N_OUTER scan runs.
 
 Config mirrors the reference GLUE recipe: S=10 MC samples, batch 8, seq 128,
 AdamW lr=2e-5, MOPED delta=0.05 freeze=True (`examples/bert_glue.py:77-87`).
@@ -16,6 +23,7 @@ AdamW lr=2e-5, MOPED delta=0.05 freeze=True (`examples/bert_glue.py:77-87`).
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 import jax
@@ -29,41 +37,58 @@ from bayeformers_tpu.ops import fused_linear as ops_fused
 from bayeformers_tpu.utils.optim import masked_optimizer
 
 S, B, L = 10, 8, 128
-N_WARMUP, N_ITER = 3, 10
+NSCAN, N_OUTER = 10, 4
+MICRO_NSCAN, MICRO_OUTER = 50, 4
 
 
-def timeit_chained(fn, state, n=N_ITER, warmup=N_WARMUP):
-    """Time ``state, probe = fn(state, i)`` iterations.
-
-    Two measurement traps on this runtime, both hit in earlier revisions:
-    repeated IDENTICAL dispatches can be deduplicated (impossibly fast
-    times), and block_until_ready on a large state pytree can return before
-    the work is done. So the state is threaded through with a varying
-    iteration index, and the sync point is the final step's scalar probe —
-    whose value transitively requires every chained step to have executed.
-    """
-    for i in range(warmup):
-        state, probe = fn(state, i)
-    float(probe)  # host sync through the scalar
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, probe = fn(state, warmup + i)
-    float(probe)
-    return (time.perf_counter() - t0) / n
-
-
-def make_step(bmodel, bparams, mode: str, n_samples: int = S):
-    tx = masked_optimizer(optax.adamw(2e-5), bmodel.trainable_mask(bparams))
-    opt_state = tx.init(bparams)
+def timeit_scan(step_fn, state, nscan=NSCAN, n_outer=N_OUTER):
+    """Per-iteration seconds (min, median) of ``state = step_fn(state, i)``
+    scanned ``nscan`` times inside one jit; syncs on a scalar probe."""
 
     @jax.jit
-    def step(bparams, opt_state, key, inputs, labels):
+    def run(state):
+        def body(carry, i):
+            state, _ = carry
+            state, probe = step_fn(state, i)
+            return (state, probe), None
+
+        (state, probe), _ = jax.lax.scan(
+            body, (state, jnp.float32(0.0)), jnp.arange(nscan)
+        )
+        return state, probe
+
+    state, probe = run(state)  # compile + warm
+    float(probe)
+    times = []
+    for _ in range(n_outer):
+        t0 = time.perf_counter()
+        state, probe = run(state)
+        float(probe)
+        times.append((time.perf_counter() - t0) / nscan)
+    return min(times), statistics.median(times)
+
+
+def build(mode_dtype):
+    bundle = bert_lib.build_bert(
+        task="classification", n_labels=2, size="base", dtype=mode_dtype
+    )
+    return bf.to_bayesian(bundle.apply_fn, bundle.params, delta=0.05, freeze=True)
+
+
+def bench_train(bmodel, bparams, inputs, labels, mode, n_samples=S):
+    tx = masked_optimizer(optax.adamw(2e-5), bmodel.trainable_mask(bparams))
+    opt_state = tx.init(bparams)
+    mc = {
+        "fused": bmodel.mc_apply_fused,
+        "naive": bmodel.mc_apply,
+        "flipout": bmodel.mc_apply_flipout,
+    }[mode]
+
+    def step(state, i):
+        bparams, opt_state = state
+        key = jax.random.fold_in(jax.random.key(0), i)
+
         def loss_fn(bparams):
-            mc = {
-                "fused": bmodel.mc_apply_fused,
-                "naive": bmodel.mc_apply,
-                "flipout": bmodel.mc_apply_flipout,
-            }[mode]
             out, aux = mc(bparams, key, n_samples, **inputs)
             nll = bf.elbo.cross_entropy_sum(bf.elbo.mc_logits_mean(out), labels)
             return bf.elbo.elbo_loss(
@@ -72,117 +97,140 @@ def make_step(bmodel, bparams, mode: str, n_samples: int = S):
 
         loss, grads = jax.value_and_grad(loss_fn)(bparams)
         updates, opt_state = tx.update(grads, opt_state, bparams)
-        return optax.apply_updates(bparams, updates), opt_state, loss
+        return (optax.apply_updates(bparams, updates), opt_state), loss
 
-    return step, opt_state
+    return timeit_scan(step, (bparams, opt_state))
 
 
-def bench_train(bmodel, bparams, inputs, labels, mode: str, n_samples: int = S):
-    step, opt_state = make_step(bmodel, bparams, mode, n_samples)
-    key = jax.random.key(0)
+def bench_frequentist_floor(inputs, labels):
+    """Same matmul/attention/optimizer work on the S*B super-batch with
+    shared deterministic weights — the speed-of-light reference."""
+    bundle = bert_lib.build_bert(
+        task="classification", n_labels=2, size="base", dtype=jnp.bfloat16
+    )
+    tx = optax.adamw(2e-5)
+    params = bundle.params
+    opt_state = tx.init(params)
+    big_inputs = {k: jnp.concatenate([v] * S, 0) for k, v in inputs.items()}
+    big_labels = jnp.concatenate([labels] * S, 0)
 
-    def run(state, i):
-        bp, opt = state
-        bp, opt, loss = step(bp, opt, jax.random.fold_in(key, i), inputs, labels)
-        return (bp, opt), loss
+    def step(state, i):
+        params, opt_state = state
 
-    return timeit_chained(run, (bparams, opt_state))
+        def loss_fn(p):
+            logits = bundle.apply_fn(p, **big_inputs)
+            return bf.elbo.cross_entropy_sum(logits, big_labels) + 0.0 * i
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    return timeit_scan(step, (params, opt_state))
 
 
 def bench_matmul_ratio():
-    """Fused sampled matmul (+ both KL terms) vs plain dense matmul.
+    """Fused sampled-matmul (+ both KL terms) vs plain dense matmul, per-op
+    device time (in-jit scan), averaged over the three BERT matmul shapes.
 
-    Averaged over the three BERT matmul shapes (QKV/attn-out square, FFN up,
-    FFN down), weighted once each. The fused op also produces log_q/log_p —
-    work the dense baseline does not do at all.
+    The fused op also produces log_q/log_p — work the dense baseline does
+    not do at all. Reported for both f32 and bf16 activations.
     """
     rng = np.random.default_rng(0)
-    ratios = []
-    t_s_total = t_d_total = 0.0
-    for K, N in ((768, 768), (768, 3072), (3072, 768)):
-        M = S * B * L
-        x = jnp.asarray(rng.normal(size=(S, M // S, K)).astype(np.float32))
-        mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.02)
-        rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
-        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.02)
-        seeds = jnp.arange(S, dtype=jnp.int32)
+    out = {}
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        ratios, t_s_tot, t_d_tot = [], 0.0, 0.0
+        for K, N in ((768, 768), (768, 3072), (3072, 768)):
+            M = B * L
+            x0 = jnp.asarray(rng.normal(size=(S, M, K)), dtype=dtype)
+            mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.02)
+            rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+            w = jnp.asarray(rng.normal(size=(K, N)) * 0.02, dtype=dtype)
+            seeds = jnp.arange(S, dtype=jnp.int32)
 
-        # chained: each iteration's x depends (by +0) on the previous output,
-        # so no two executions are identical and none can be deduplicated
-        @jax.jit
-        def sampled_step(x, mu, rho, s):
-            y = ops_fused.bayes_linear(x, mu, rho, s, prior_on_mu=True)[0]
-            m = jnp.mean(y)
-            return x + 0.0 * m, m
+            def sampled(x, i):
+                y, lq, lp = ops_fused.bayes_linear(
+                    x, mu, rho, seeds + i, prior_on_mu=True, save_weights=False
+                )
+                m = jnp.mean(y).astype(jnp.float32) + jnp.sum(lq) + jnp.sum(lp)
+                return x + jnp.array(0.0, x.dtype) * m.astype(x.dtype), m
 
-        @jax.jit
-        def dense_step(x, w, i):
-            y = jax.lax.dot_general(x + 0.0 * i, w, (((2,), (0,)), ((), ())))
-            m = jnp.mean(y)
-            return x + 0.0 * m, m
+            def dense(x, i):
+                y = jax.lax.dot_general(
+                    x + jnp.array(0, x.dtype) * i.astype(x.dtype), w,
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m = jnp.mean(y)
+                return x + jnp.array(0.0, x.dtype) * m.astype(x.dtype), m
 
-        t_s = timeit_chained(
-            lambda st, i: sampled_step(st, mu, rho, seeds + i), x, n=30, warmup=5
-        )
-        t_d = timeit_chained(
-            lambda st, i: dense_step(st, w, jnp.float32(i)), x, n=30, warmup=5
-        )
-        ratios.append(t_s / t_d)
-        t_s_total += t_s
-        t_d_total += t_d
-    return float(np.mean(ratios)), t_s_total, t_d_total
+            t_s, _ = timeit_scan(sampled, x0, MICRO_NSCAN, MICRO_OUTER)
+            t_d, _ = timeit_scan(dense, x0, MICRO_NSCAN, MICRO_OUTER)
+            ratios.append(t_s / t_d)
+            t_s_tot += t_s
+            t_d_tot += t_d
+        out[tag] = (float(np.mean(ratios)), t_s_tot, t_d_tot)
+    return out
 
 
 def main():
     backend = jax.default_backend()
     bundle = bert_lib.build_bert(task="classification", n_labels=2, size="base")
-    bmodel, bparams = bf.to_bayesian(
-        bundle.apply_fn, bundle.params, delta=0.05, freeze=True
-    )
     batch = bert_lib.synthetic_batch(
         np.random.default_rng(0), B, L, bundle.config.vocab_size, 2
     )
     labels = batch.pop("labels")
     inputs = batch
 
-    ratio, t_s, t_d = bench_matmul_ratio()
-    t_fused = bench_train(bmodel, bparams, inputs, labels, "fused")
-    t_naive = bench_train(bmodel, bparams, inputs, labels, "naive")
-    # extension estimator: flipout at S=1 (per-example decorrelated
-    # perturbations make one pass worth ~B quasi-samples; see PERF.md)
-    t_flip = bench_train(bmodel, bparams, inputs, labels, "flipout", n_samples=1)
-    # bf16 activations (f32 variational numerics — log-probs bit-identical)
-    bundle16 = bert_lib.build_bert(
-        task="classification", n_labels=2, size="base", dtype=jnp.bfloat16
-    )
-    bmodel16, bparams16 = bf.to_bayesian(
-        bundle16.apply_fn, bundle16.params, delta=0.05, freeze=True
-    )
-    t_bf16 = bench_train(bmodel16, bparams16, inputs, labels, "fused")
+    micro = bench_matmul_ratio()
 
-    # Headline = the framework's TPU-native recipe: fused Pallas kernels with
-    # bf16 activations (variational numerics stay f32; log-probs are
-    # bit-identical to the f32 run). Baseline = the reference algorithm
-    # ported verbatim to JAX in f32 (sample W into HBM, dense matmuls,
-    # vmapped S loop).
+    results = {}
+    bmodel32, bparams32 = build(jnp.float32)
+    results["naive_f32"] = bench_train(bmodel32, bparams32, inputs, labels, "naive")
+    results["fused_f32"] = bench_train(bmodel32, bparams32, inputs, labels, "fused")
+    bmodel16, bparams16 = build(jnp.bfloat16)
+    results["naive_bf16"] = bench_train(bmodel16, bparams16, inputs, labels, "naive")
+    results["fused_bf16"] = bench_train(bmodel16, bparams16, inputs, labels, "fused")
+    results["flipout_s1_bf16"] = bench_train(
+        bmodel16, bparams16, inputs, labels, "flipout", n_samples=1
+    )
+    results["frequentist_floor_bf16"] = bench_frequentist_floor(inputs, labels)
+
+    t_fused = results["fused_bf16"][0]
+    # honest baseline: the best configuration of the reference-style tier
+    t_naive_best = min(results["naive_f32"][0], results["naive_bf16"][0])
+
+    extra = {
+        "backend": backend,
+        # min / median per mode, milliseconds
+        **{
+            f"{k}_step_ms": round(v[0] * 1e3, 2) for k, v in results.items()
+        },
+        **{
+            f"{k}_step_ms_median": round(v[1] * 1e3, 2)
+            for k, v in results.items()
+        },
+        "naive_best_step_ms": round(t_naive_best * 1e3, 2),
+        "fused_vs_naive_same_dtype_f32": round(
+            results["naive_f32"][0] / results["fused_f32"][0], 4
+        ),
+        "fused_vs_naive_same_dtype_bf16": round(
+            results["naive_bf16"][0] / results["fused_bf16"][0], 4
+        ),
+        "sampled_vs_dense_matmul_ratio_f32": round(micro["f32"][0], 4),
+        "sampled_vs_dense_matmul_ratio_bf16": round(micro["bf16"][0], 4),
+        "sampled_matmul_ms_f32": round(micro["f32"][1] * 1e3, 3),
+        "dense_matmul_ms_f32": round(micro["f32"][2] * 1e3, 3),
+        "sampled_matmul_ms_bf16": round(micro["bf16"][1] * 1e3, 3),
+        "dense_matmul_ms_bf16": round(micro["bf16"][2] * 1e3, 3),
+        "config": {"S": S, "B": B, "L": L, "model": "bert-base(random-init)",
+                   "timing": f"lax.scan x{NSCAN} in-jit, min of {N_OUTER}"},
+    }
     result = {
         "metric": "bert_base_glue_mc10_elbo_steps_per_sec",
-        "value": round(1.0 / t_bf16, 4),
+        "value": round(1.0 / t_fused, 4),
         "unit": "steps/sec",
-        "vs_baseline": round(t_naive / t_bf16, 4),
-        "extra": {
-            "backend": backend,
-            "naive_steps_per_sec": round(1.0 / t_naive, 4),
-            "naive_step_ms": round(t_naive * 1e3, 2),
-            "fused_bf16_step_ms": round(t_bf16 * 1e3, 2),
-            "fused_f32_step_ms": round(t_fused * 1e3, 2),
-            "flipout_s1_step_ms": round(t_flip * 1e3, 2),
-            "flipout_speedup_vs_naive": round(t_naive / t_flip, 4),
-            "sampled_vs_dense_matmul_ratio": round(ratio, 4),
-            "sampled_matmul_ms": round(t_s * 1e3, 3),
-            "dense_matmul_ms": round(t_d * 1e3, 3),
-            "config": {"S": S, "B": B, "L": L, "model": "bert-base(random-init)"},
-        },
+        "vs_baseline": round(t_naive_best / t_fused, 4),
+        "extra": extra,
     }
     print(json.dumps(result))
 

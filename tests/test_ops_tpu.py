@@ -134,3 +134,79 @@ def test_combined_op_grad_finite_and_deterministic():
     for a, b in zip(g1, g2):
         assert np.isfinite(np.asarray(a)).all()
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("K,N", [(768, 768), (768, 3072), (768, 770)])
+@pytest.mark.parametrize("want_u", [True, False])
+def test_fused_backward_reduce_parity(K, N, want_u):
+    """The tile-fused (A, B, U, V) backward accumulators match the dense XLA
+    reference to f32 summation-order noise (ops/fused_backward.py)."""
+    from bayeformers_tpu.ops import fused_backward as bwd
+
+    S, M = 4, 256
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(S, M, K)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(S, M, N)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(S, K, N)).astype(np.float32) * 0.05)
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.04)
+    g_p = jnp.asarray(rng.normal(size=(S,)).astype(np.float32))
+    for mixture in (None, (0.5, 1.0, math.exp(-6))):
+        if mixture is not None and not want_u:
+            continue  # mixture always wants U
+        tiles = bwd.pick_tiles(
+            -(-K // 128) * 128, -(-N // 128) * 128, M, S,
+            n_acc=4 if want_u else 3,
+        )
+        assert tiles is not None
+        got = bwd._pallas_reduce(x, g, w, mu, g_p, tiles, mixture, want_u)
+        ref = bwd._xla_reduce(x, g, w, mu, g_p, mixture)
+        for name, p, r in zip("ABUV", got, ref):
+            if p is None:
+                continue
+            scale = float(jnp.max(jnp.abs(r))) + 1e-30
+            err = float(jnp.max(jnp.abs(p - r))) / scale
+            assert err < 1e-5, (name, mixture, err)
+
+
+def test_fused_backward_gradients_match_naive_path():
+    """End-to-end grads through bayes_linear (Pallas fwd + fused bwd kernel)
+    match the all-XLA naive path evaluated at the SAME weights."""
+    from bayeformers_tpu.ops import fused_linear as fl
+
+    S, M, K, N = 3, 64, 256, 384
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(S, M, K)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+    gy = jnp.asarray(rng.normal(size=(S, M, N)).astype(np.float32))
+    seeds = jnp.arange(1, S + 1, dtype=jnp.int32)
+
+    def loss(mu, rho, x):
+        y, lq, lp = fl.bayes_linear(x, mu, rho, seeds, prior_on_mu=True)
+        return jnp.sum(y * gy) + 0.5 * jnp.sum(lq) - 0.25 * jnp.sum(lp)
+
+    dmu, drho, dx = jax.grad(loss, argnums=(0, 1, 2))(mu, rho, x)
+
+    # naive reference AT the kernel's weight draw
+    w = fl.regenerate_weights(mu, rho, seeds)
+
+    def loss_ref(mu, rho, x):
+        sigma = jax.nn.softplus(rho)
+        eps = jax.lax.stop_gradient((w - mu[None]) / sigma[None])
+        ws = mu[None] + sigma[None] * eps
+        y = jnp.einsum("smk,skn->smn", x, ws)
+        lq = jnp.sum(
+            -math.log(math.sqrt(2 * math.pi)) - jnp.log(sigma)[None]
+            - 0.5 * eps * eps, axis=(1, 2),
+        )
+        z = sigma[None] * eps / MOPED_PRIOR_SIGMA
+        lp = jnp.sum(
+            -math.log(math.sqrt(2 * math.pi)) - math.log(MOPED_PRIOR_SIGMA)
+            - 0.5 * z * z, axis=(1, 2),
+        )
+        return jnp.sum(y * gy) + 0.5 * jnp.sum(lq) - 0.25 * jnp.sum(lp)
+
+    dmu_r, drho_r, dx_r = jax.grad(loss_ref, argnums=(0, 1, 2))(mu, rho, x)
+    for a, b in ((dmu, dmu_r), (drho, drho_r), (dx, dx_r)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4

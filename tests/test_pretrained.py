@@ -1,0 +1,77 @@
+"""Pretrained round-trip: save → from_pretrained → MOPED → accuracy held.
+
+The reference's whole point is converting *pretrained* HF checkpoints
+(`examples/bert_glue.py:48-53`) with MOPED init, which Krishnan et al. show
+preserves the pretrained accuracy (cited at reference
+`bayeformers/__init__.py:42-44`). Zero-egress means no hub downloads, so
+this exercises the ``build_bert(pretrained=<local path>)`` code path with a
+locally-saved checkpoint: fine-tune tiny BERT on separable synthetic data,
+save, reload through from_pretrained, convert, and require Bayesian MC eval
+to match the frequentist accuracy.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import bayeformers_tpu as bf
+from bayeformers_tpu.models import bert as bert_lib
+
+
+@pytest.mark.slow
+def test_pretrained_roundtrip_moped_preserves_accuracy(tmp_path):
+    bundle = bert_lib.build_bert(
+        task="classification", n_labels=2, size="tiny", seed=0
+    )
+    rng = np.random.default_rng(0)
+    batch = bert_lib.synthetic_batch(rng, 32, 16, bundle.config.vocab_size, 2)
+    labels = batch.pop("labels")
+    # plant a deterministic label token so the task is learnable
+    ids = np.array(batch["input_ids"])
+    ids[:, 1] = 4 + np.asarray(labels) * 7
+    batch["input_ids"] = jnp.asarray(ids)
+
+    tx = optax.adam(1e-3)
+    params = bundle.params
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = bundle.apply_fn(p, **batch)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state)
+    logits = bundle.apply_fn(params, **batch)
+    freq_acc = float(jnp.mean(jnp.argmax(logits, -1) == labels))
+    assert freq_acc >= 0.9, freq_acc
+
+    # save the fine-tuned checkpoint locally, reload via from_pretrained
+    bundle.hf_model.params = params
+    ckpt_dir = tmp_path / "tiny-bert"
+    bundle.hf_model.save_pretrained(str(ckpt_dir))
+    reloaded = bert_lib.build_bert(
+        task="classification", n_labels=2, pretrained=str(ckpt_dir)
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(reloaded.params),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # MOPED conversion of the RELOADED model preserves accuracy
+    bmodel, bparams = bf.to_bayesian(
+        reloaded.apply_fn, reloaded.params, delta=0.05, freeze=True
+    )
+    out, _ = bmodel.mc_apply(bparams, jax.random.key(1), 8, **batch)
+    bayes_acc, acc_std = bf.elbo.accuracy_and_std(out, labels)
+    assert abs(float(bayes_acc) - freq_acc) <= 0.1, (float(bayes_acc), freq_acc)
+    assert np.isfinite(float(acc_std))

@@ -62,3 +62,43 @@ def test_bert_squad_workload_tiny_with_resume(tmp_path):
     score2 = bert_squad.train(b_epochs=2, resume=True, **kwargs)
     assert np.isfinite(score2)
     assert ckpt_lib.latest_step(str(tmp_path / "ckpt")) == 2
+
+
+@pytest.mark.slow
+def test_bert_glue_dp_shard_map_tiny(tmp_path):
+    """--dp on the fused tier: shard_map data parallelism over the CPU mesh."""
+    from bayeformers_tpu.workloads import bert_glue
+
+    acc = bert_glue.train(
+        exp="t-dp", model_name="bert", delta=0.05, weight_decay=0.0,
+        logs=str(tmp_path / "logs"), epochs=1, b_epochs=1, samples=2,
+        batch_size=4, size="tiny", limit_batches=2, seed=0, dp=2,
+    )
+    assert 0.0 <= acc <= 1.0
+
+
+@pytest.mark.slow
+def test_bert_glue_dp_tp_gspmd_tiny(tmp_path):
+    """--dp x --tp on the GSPMD tier (fused=False): Megatron tp rules."""
+    from bayeformers_tpu.workloads import bert_glue
+
+    acc = bert_glue.train(
+        exp="t-dptp", model_name="bert", delta=0.05, weight_decay=0.0,
+        logs=str(tmp_path / "logs"), epochs=1, b_epochs=1, samples=2,
+        batch_size=4, size="tiny", limit_batches=2, seed=0, dp=2, tp=2,
+        fused=False,
+    )
+    assert 0.0 <= acc <= 1.0
+
+
+@pytest.mark.slow
+def test_bert_squad_dp_tiny(tmp_path):
+    from bayeformers_tpu.workloads import bert_squad
+
+    score = bert_squad.train(
+        exp="t-squad-dp", data_dir=str(tmp_path / "nodata"), delta=0.05,
+        weight_decay=0.0, logs=str(tmp_path / "logs"), epochs=1, b_epochs=1,
+        samples=2, batch_size=4, max_seq=64, size="tiny", limit_batches=2,
+        seed=0, dp=2,
+    )
+    assert np.isfinite(score)
