@@ -21,3 +21,17 @@ def dot_dtype():
     if os.environ.get("BAYEFORMERS_DOT_DTYPE", "").lower() in ("bf16", "bfloat16"):
         return jnp.bfloat16
     return jnp.float32
+
+
+def kernel_dot_precision(dt):
+    """Precision for dots INSIDE Pallas kernels.
+
+    bf16 operands must use DEFAULT: under a global
+    ``jax_default_matmul_precision=highest`` (the test suite sets it) Mosaic
+    rejects HIGHEST-precision bf16 dots with "Bad lhs type" — bf16 inputs
+    with f32 accumulation are already the exact computation intended. f32
+    operands inherit the global setting (None).
+    """
+    import jax
+
+    return jax.lax.Precision.DEFAULT if dt == jnp.bfloat16 else None

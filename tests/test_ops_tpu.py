@@ -210,3 +210,47 @@ def test_fused_backward_gradients_match_naive_path():
     for a, b in ((dmu, dmu_r), (drho, drho_r), (dx, dx_r)):
         scale = float(jnp.max(jnp.abs(b))) + 1e-30
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
+
+
+def test_bf16_weight_residuals():
+    """bf16 activations store the W residual in bf16: forward outputs and
+    log-probs must be BIT-identical to f32 residuals (the matmul casts W to
+    bf16 either way); backward drho may deviate only at the ~1% level (the
+    eps reconstruction from bf16 W), far under MC sampling noise."""
+    import os
+    import importlib
+    from bayeformers_tpu.ops import fused_linear as fl
+
+    S, M, K, N = 4, 256, 256, 384
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(S, M, K)), dtype=jnp.bfloat16)
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+    gy = jnp.asarray(rng.normal(size=(S, M, N)), dtype=jnp.bfloat16)
+    seeds = jnp.arange(1, S + 1, dtype=jnp.int32)
+
+    def run():
+        def loss(mu, rho, x):
+            y, lq, lp = fl.bayes_linear(x, mu, rho, seeds, prior_on_mu=True)
+            return (jnp.sum((y * gy).astype(jnp.float32)) + jnp.sum(lq)
+                    + jnp.sum(lp)), (y, lq, lp)
+
+        (v, aux), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2), has_aux=True)(mu, rho, x)
+        return aux, grads
+
+    assert fl._w_dtype(jnp.bfloat16) == jnp.bfloat16
+    (y16, lq16, lp16), (dmu16, drho16, dx16) = run()
+    os.environ["BAYEFORMERS_SAVE_W_F32"] = "1"
+    try:
+        assert fl._w_dtype(jnp.bfloat16) == jnp.float32
+        (y32, lq32, lp32), (dmu32, drho32, dx32) = run()
+    finally:
+        del os.environ["BAYEFORMERS_SAVE_W_F32"]
+
+    assert bool(jnp.all(y16 == y32))
+    assert bool(jnp.all(lq16 == lq32)) and bool(jnp.all(lp16 == lp32))
+    assert bool(jnp.all(dmu16 == dmu32)) and bool(jnp.all(dx16 == dx32))
+    scale = float(jnp.max(jnp.abs(drho32))) + 1e-30
+    rel = float(jnp.max(jnp.abs(drho16 - drho32))) / scale
+    assert rel < 0.03, rel
