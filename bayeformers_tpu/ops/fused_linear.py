@@ -744,6 +744,18 @@ def bayes_linear(
         prior = ("mixture",) + tuple(float(v) for v in mixture)
         prior_mu = mu  # unused dummy; zero cotangent in backward
 
+    # Experimental routing: layers at or below this size run the pure-XLA
+    # naive path (jnp sampling + autodiff) even on TPU — XLA then owns the
+    # layout choices end-to-end, avoiding the normalization copies that
+    # custom calls force at attention-head boundaries.
+    thresh = int(os.environ.get("BAYEFORMERS_NAIVE_BELOW", "0"))
+    if (
+        thresh
+        and split_lib.use_pallas()
+        and max(x.shape[-1], mu.shape[1]) <= thresh
+    ):
+        return _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior)
+
     # Layers too large for the full-K kernel take the split multi-tile path
     # (its own custom VJPs; decision made here so fwd/bwd always agree).
     kp, np_ = _pad_kn(x.shape[-1], mu.shape[1])

@@ -254,3 +254,57 @@ def test_bf16_weight_residuals():
     scale = float(jnp.max(jnp.abs(drho32))) + 1e-30
     rel = float(jnp.max(jnp.abs(drho16 - drho32))) / scale
     assert rel < 0.03, rel
+
+
+def test_ktall_route_parity():
+    """The K-tall kernel (K>=2048 down-projections) produces the same draw,
+    values, and gradients as the regen-kernel reference — the absolute
+    (k_chunk, col_strip) eps coordinates must line up across kernels."""
+    from bayeformers_tpu.ops import fused_linear as fl
+    from bayeformers_tpu.core.distributions import LOG_SQRT_2PI
+
+    S, M, K, N = 3, 128, 2048, 384
+    kp, np_ = fl._pad_kn(K, N)
+    assert fl._ktall_bk(kp, np_, M, 4, 4) is not None  # route active
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(S, M, K)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+    gy = jnp.asarray(rng.normal(size=(S, M, N)).astype(np.float32))
+    seeds = jnp.arange(1, S + 1, dtype=jnp.int32)
+
+    def loss(mu, rho, x):
+        y, lq, lp = fl.bayes_linear(x, mu, rho, seeds, prior_on_mu=True)
+        return jnp.sum(y * gy) + 0.5 * jnp.sum(lq) - 0.25 * jnp.sum(lp)
+
+    dmu, drho, dx = jax.grad(loss, argnums=(0, 1, 2))(mu, rho, x)
+
+    w = fl.regenerate_weights(mu, rho, seeds)  # same stream, fullk regen
+
+    def loss_ref(mu, rho, x):
+        sigma = jax.nn.softplus(rho)
+        eps = jax.lax.stop_gradient((w - mu[None]) / sigma[None])
+        ws = mu[None] + sigma[None] * eps
+        y = jnp.einsum("smk,skn->smn", x, ws)
+        lq = jnp.sum(-LOG_SQRT_2PI - jnp.log(sigma)[None] - 0.5 * eps * eps,
+                     axis=(1, 2))
+        z = sigma[None] * eps / MOPED_PRIOR_SIGMA
+        lp = jnp.sum(
+            -LOG_SQRT_2PI - math.log(MOPED_PRIOR_SIGMA) - 0.5 * z * z,
+            axis=(1, 2),
+        )
+        return jnp.sum(y * gy) + 0.5 * jnp.sum(lq) - 0.25 * jnp.sum(lp)
+
+    dmu_r, drho_r, dx_r = jax.grad(loss_ref, argnums=(0, 1, 2))(mu, rho, x)
+    for name, a, b in (("dmu", dmu, dmu_r), ("drho", drho, drho_r),
+                       ("dx", dx, dx_r)):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
+        assert rel < 3e-4, (name, rel)
+
+    # non-divisible N pads correctly through the same route
+    y2, lq2, lp2 = fl.bayes_linear(
+        x, mu[:, :380], rho[:, :380], seeds, prior_on_mu=True,
+        save_weights=False,
+    )
+    assert y2.shape == (S, M, 380)
+    assert np.isfinite(float(jnp.sum(lq2)))
