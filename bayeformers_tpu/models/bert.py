@@ -165,11 +165,94 @@ def build_distilbert(
     return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=False)
 
 
+def build_roberta(
+    task: str = "classification",
+    n_labels: int = 2,
+    pretrained: Optional[str] = None,
+    size: str = "base",
+    seed: int = 0,
+    dtype=jnp.float32,
+    **config_overrides,
+) -> ModelBundle:
+    """RoBERTa variant (the reference's per-family input pruning names
+    xlm/roberta/camembert alongside distilbert, `examples/bert_squad.py:
+    184-185` — families its AutoModel path accepts). RoBERTa's quirks vs
+    BERT: a single token-type (``type_vocab_size=1``, so token_type_ids are
+    pruned like distilbert's) and position ids that start at
+    ``pad_token_id + 1`` and skip padding positions — computed here exactly
+    as HF's ``create_position_ids_from_input_ids`` does, since calling
+    ``module.apply`` directly bypasses the HF wrapper that normally adds
+    them."""
+    from transformers import RobertaConfig
+    from transformers import (
+        FlaxRobertaForQuestionAnswering,
+        FlaxRobertaForSequenceClassification,
+    )
+
+    cls = (
+        FlaxRobertaForSequenceClassification
+        if task == "classification"
+        else FlaxRobertaForQuestionAnswering
+    )
+    if pretrained is not None:
+        model = cls.from_pretrained(pretrained, num_labels=n_labels, dtype=dtype)
+        config = model.config
+    else:
+        if size == "base":
+            kwargs = dict(
+                vocab_size=50265, hidden_size=768, num_hidden_layers=12,
+                num_attention_heads=12, intermediate_size=3072,
+                max_position_embeddings=514, type_vocab_size=1, pad_token_id=1,
+            )
+        else:
+            kwargs = dict(
+                vocab_size=1024, hidden_size=128, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=256,
+                max_position_embeddings=136, type_vocab_size=1, pad_token_id=1,
+            )
+        kwargs.update(config_overrides)
+        config = RobertaConfig(num_labels=n_labels, **kwargs)
+        model = cls(config, seed=seed, dtype=dtype)
+    params = model.params
+    pad_id = config.pad_token_id
+
+    def apply_fn(
+        p,
+        input_ids,
+        attention_mask=None,
+        position_ids=None,
+        deterministic: bool = True,
+        rngs: Optional[dict] = None,
+        **_ignored,
+    ):
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        if position_ids is None:
+            not_pad = (input_ids != pad_id).astype(jnp.int32)
+            position_ids = jnp.cumsum(not_pad, axis=-1) * not_pad + pad_id
+        token_type_ids = jnp.zeros_like(input_ids)
+        out = model.module.apply(
+            {"params": p},
+            input_ids, attention_mask, token_type_ids, position_ids, None,
+            deterministic=deterministic,
+            return_dict=False,
+            rngs=rngs,
+        )
+        if task == "classification":
+            return out[0]
+        return out[0], out[1]
+
+    return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=False)
+
+
 def build_model(model_name: str, **kwargs) -> ModelBundle:
     """Family dispatch by model name (mirrors the reference's AutoModel use
     with its per-family input handling)."""
-    if "distilbert" in model_name.lower():
+    name = model_name.lower()
+    if "distilbert" in name:
         return build_distilbert(**kwargs)
+    if "roberta" in name or "camembert" in name:
+        return build_roberta(**kwargs)
     return build_bert(**kwargs)
 
 

@@ -159,6 +159,7 @@ def train(
     delta: float = 0.05,
     weight_decay: float = 0.0,
     *,
+    model: str = "bert-base-uncased",
     data_dir: str | None = "dataset/squadv1",
     tokenizer: str | None = None,
     logs: str = "logs",
@@ -183,10 +184,16 @@ def train(
     writer = MetricsWriter(logs, name)
     dumper = Dumper(os.path.join(logs, name + ".results"))
 
-    bundle = bert_lib.build_bert(
-        task="qa", pretrained=pretrained, size=size, seed=seed,
+    bundle = bert_lib.build_model(
+        model, task="qa", pretrained=pretrained, size=size, seed=seed,
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
-        **({} if size == "base" else {"max_position_embeddings": max_seq}),
+        **({} if size == "base" else {"max_position_embeddings": max_seq + 8}),
+    )
+    # model-family input pruning (reference `bert_squad.py:184-185`):
+    # distilbert/roberta-family models take no token_type_ids
+    input_keys = (
+        INPUT_KEYS if bundle.uses_token_type_ids
+        else ("input_ids", "attention_mask")
     )
     train_data, dev_data, dev_feats, dev_examples, synthetic = load_squad(
         data_dir, tokenizer, bundle.config.vocab_size, max_seq, seed
@@ -232,7 +239,7 @@ def train(
     def f_step(params, opt_state, batch):
         def loss_fn(p):
             start_logits, end_logits = qa_apply(
-                p, **{k: batch[k] for k in INPUT_KEYS}
+                p, **{k: batch[k] for k in input_keys}
             )
             return 0.5 * (
                 bf.elbo.cross_entropy_sum(start_logits, batch["start_positions"])
@@ -276,7 +283,7 @@ def train(
 
     eval_step = training.make_elbo_eval_step(
         bmodel, samples, loss_fn=training.qa_span_loss, fused=fused,
-        input_keys=INPUT_KEYS,
+        input_keys=input_keys,
     )
 
     def eval_bayesian(bparams, key):
@@ -294,7 +301,7 @@ def train(
             else:
                 mc = bmodel.mc_apply_fused if fused else bmodel.mc_apply
                 (s_log, e_log), _ = mc(
-                    bparams, k, samples, **{k2: batch[k2] for k2 in INPUT_KEYS}
+                    bparams, k, samples, **{k2: batch[k2] for k2 in input_keys}
                 )
                 s_log = np.asarray(jnp.mean(s_log, 0))
                 e_log = np.asarray(jnp.mean(e_log, 0))
@@ -341,12 +348,12 @@ def train(
     if mesh is not None and fused:
         b_step = parallel_lib.make_dp_train_step(
             bmodel, btx, samples, n_batches, mesh,
-            loss_fn=training.qa_span_loss, fused=True, input_keys=INPUT_KEYS,
+            loss_fn=training.qa_span_loss, fused=True, input_keys=input_keys,
         )
     else:
         b_step = training.make_elbo_train_step(
             bmodel, btx, samples, n_batches, loss_fn=training.qa_span_loss,
-            fused=fused, input_keys=INPUT_KEYS,
+            fused=fused, input_keys=input_keys,
         )
 
     with dumper.section("bayesian_train"):
@@ -386,6 +393,10 @@ def train(
 def main():
     parser = argparse.ArgumentParser(description="Bayesian BERT on SQuAD v1.1 (TPU)")
     parser.add_argument("--exp", default="bert_squad")
+    parser.add_argument("--model", default="bert-base-uncased",
+                        help="model family: bert / distilbert / roberta "
+                             "(drives input pruning, reference "
+                             "`bert_squad.py:184-185`)")
     parser.add_argument("--data-dir", default="dataset/squadv1")
     parser.add_argument("--tokenizer", default=None)
     parser.add_argument("--pretrained", default=None)
@@ -415,7 +426,8 @@ def main():
     args = parser.parse_args()
 
     kwargs = dict(
-        exp=args.exp, data_dir=args.data_dir, tokenizer=args.tokenizer,
+        exp=args.exp, model=args.model, data_dir=args.data_dir,
+        tokenizer=args.tokenizer,
         logs=args.logs, epochs=args.epochs, b_epochs=args.b_epochs,
         samples=args.samples, batch_size=args.batch_size, max_seq=args.max_seq,
         lr=args.lr, size=args.size, bf16=args.bf16,

@@ -1,0 +1,88 @@
+"""Model-family adapters: dispatch, input pruning, RoBERTa position ids.
+
+The reference reaches multiple HF families through ``AutoModel*`` and prunes
+``token_type_ids`` per family (xlm/roberta/distilbert/camembert,
+`examples/bert_squad.py:184-185`). These tests pin the Flax adapters'
+family dispatch, the pruning flags, and — for RoBERTa, whose position ids
+start at ``pad_token_id + 1`` and skip padding — value parity between our
+direct ``module.apply`` path and the HF wrapper that computes position ids
+itself.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bayeformers_tpu as bf
+from bayeformers_tpu.models import bert as bert_lib
+
+
+def test_build_model_family_dispatch():
+    for name, expect_tt in (
+        ("bert-base-uncased", True),
+        ("distilbert-base-uncased", False),
+        ("roberta-base", False),
+        ("camembert-base", False),
+    ):
+        bundle = bert_lib.build_model(name, size="tiny", seed=0)
+        assert bundle.uses_token_type_ids is expect_tt, name
+        pruned = bert_lib.prune_inputs(
+            bundle, {"input_ids": 0, "attention_mask": 0, "token_type_ids": 0}
+        )
+        assert ("token_type_ids" in pruned) is expect_tt, name
+
+
+def test_roberta_position_ids_match_hf_wrapper():
+    bundle = bert_lib.build_model("roberta-base", size="tiny", seed=0)
+    rng = np.random.default_rng(0)
+    pad = bundle.config.pad_token_id
+    ids = rng.integers(4, bundle.config.vocab_size, (2, 12))
+    ids[0, 9:] = pad  # right-padding: positions must not advance over it
+    mask = (ids != pad).astype(np.int32)
+    logits_ours = bundle.apply_fn(
+        bundle.params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask)
+    )
+    # HF wrapper computes position ids via create_position_ids_from_input_ids
+    logits_hf = bundle.hf_model(
+        np.asarray(ids), attention_mask=np.asarray(mask),
+        params=bundle.params,
+    ).logits
+    np.testing.assert_allclose(
+        np.asarray(logits_ours), np.asarray(logits_hf), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_roberta_converts_and_trains_elbo():
+    bundle = bert_lib.build_model("roberta-base", size="tiny", seed=0)
+    bmodel, bparams = bf.to_bayesian(
+        bundle.apply_fn, bundle.params, delta=0.05, freeze=True
+    )
+    batch = bert_lib.synthetic_batch(
+        np.random.default_rng(0), 4, 12, bundle.config.vocab_size, 2
+    )
+    labels = batch.pop("labels")
+    inputs = bert_lib.prune_inputs(bundle, batch)
+
+    def loss_fn(bparams):
+        out, aux = bmodel.mc_apply(bparams, jax.random.key(0), 2, **inputs)
+        nll = bf.elbo.cross_entropy_sum(bf.elbo.mc_logits_mean(out), labels)
+        return bf.elbo.elbo_loss(
+            nll, aux["log_prior"], aux["log_variational_posterior"], 10
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(bparams)
+    assert np.isfinite(float(loss))
+    # rho leaves received gradient (mu frozen by the trainable mask, not here)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_roberta_qa_head_shapes():
+    bundle = bert_lib.build_model("roberta-base", task="qa", size="tiny", seed=0)
+    batch = bert_lib.synthetic_batch(
+        np.random.default_rng(0), 2, 12, bundle.config.vocab_size, task="qa"
+    )
+    start_logits, end_logits = bundle.apply_fn(
+        bundle.params, batch["input_ids"], batch["attention_mask"]
+    )
+    assert start_logits.shape == (2, 12)
+    assert end_logits.shape == (2, 12)

@@ -65,6 +65,21 @@ def test_bert_squad_workload_tiny_with_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_roberta_squad_workload_tiny(tmp_path):
+    """Family-aware SQuAD: roberta takes no token_type_ids (reference input
+    pruning, `examples/bert_squad.py:184-185`) and offsets position ids."""
+    from bayeformers_tpu.workloads import bert_squad
+
+    score = bert_squad.train(
+        exp="t-squad-rob", model="roberta-base",
+        data_dir=str(tmp_path / "nodata"), delta=0.05, weight_decay=0.0,
+        logs=str(tmp_path / "logs"), epochs=1, b_epochs=1, samples=2,
+        batch_size=4, max_seq=64, size="tiny", limit_batches=2, seed=0,
+    )
+    assert np.isfinite(score)
+
+
+@pytest.mark.slow
 def test_bert_glue_dp_shard_map_tiny(tmp_path):
     """--dp on the fused tier: shard_map data parallelism over the CPU mesh."""
     from bayeformers_tpu.workloads import bert_glue
