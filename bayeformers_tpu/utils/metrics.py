@@ -151,3 +151,27 @@ def glue_metrics(metric: str, preds, labels) -> dict[str, float]:
         f1 = f1_binary(preds, labels)
         return {"acc": acc, "f1": f1, "score": 0.5 * (acc + f1)}
     return {"acc": acc, "score": acc}
+
+
+def expected_calibration_error(probs, labels, n_bins: int = 15) -> float:
+    """ECE of max-probability predictions (Guo et al. 2017, eq. 3).
+
+    Extension over the reference's ``acc_std`` uncertainty proxy
+    (`examples/bert_glue.py:186`): calibration is the property MOPED-style
+    BNNs are deployed for (Krishnan et al. 2020, cited at reference
+    `bayeformers/__init__.py:42-44`). ``probs`` is (B, C) — typically the
+    MC-averaged softmax from ``elbo.predictive``.
+    """
+    probs = np.asarray(probs, np.float64)
+    labels = np.asarray(labels).astype(np.int64)
+    conf = probs.max(axis=-1)
+    correct = (probs.argmax(axis=-1) == labels).astype(np.float64)
+    edges = np.linspace(0.0, 1.0, n_bins + 1)
+    ece = 0.0
+    n = len(labels)
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        sel = (conf > lo) & (conf <= hi) if lo > 0 else (conf <= hi)
+        if not sel.any():
+            continue
+        ece += sel.sum() / n * abs(correct[sel].mean() - conf[sel].mean())
+    return float(ece)

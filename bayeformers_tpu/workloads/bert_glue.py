@@ -296,7 +296,7 @@ def train(
     def eval_bayesian(bparams, key):
         report = Report("nll", *sample_keys, "log_prior",
                         "log_variational_posterior", "n")
-        preds, labels = [], []
+        preds, labels, probs = [], [], []
         n_b = 0
         for batch in batch_iter(dev_data, batch_size):
             key, k = jax.random.split(key)
@@ -311,6 +311,11 @@ def train(
             )
             mean_out = np.asarray(bf.elbo.mc_logits_mean(out), np.float32)
             preds.append(mean_out[..., 0] if regression else mean_out.argmax(-1))
+            if not regression:
+                # MC-averaged predictive probabilities for calibration
+                probs.append(np.asarray(
+                    jnp.mean(jax.nn.softmax(out.astype(jnp.float32), -1), 0)
+                ))
             labels.append(np.asarray(batch["labels"]))
             n_b += 1
         n = max(report.totals.pop("n"), 1)
@@ -320,6 +325,12 @@ def train(
         means.update(metrics_lib.glue_metrics(
             spec.metric, np.concatenate(preds), np.concatenate(labels)
         ))
+        if not regression:
+            # calibration of the posterior predictive (extension; the
+            # reference reports only acc_std, `examples/bert_glue.py:186`)
+            means["ece"] = metrics_lib.expected_calibration_error(
+                np.concatenate(probs), np.concatenate(labels)
+            )
         return means
 
     # ---------------- Phase C: Bayesian eval -------------------------------

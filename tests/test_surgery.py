@@ -232,3 +232,40 @@ def test_predictive_api(net_and_params):
     assert float(pred["epistemic_std"].max()) > 0  # delta=0.2 => real spread
     assert pred["entropy"].shape == (B,)
     assert pred["logits"].shape == (8, B, C)
+
+
+def test_analytic_kl_matches_mc_expectation(net_and_params):
+    """elbo.analytic_kl == E[log_q - log_p] (extension; closed form for the
+    MOPED Gaussian prior, draw-averaged cross-entropy for the mixture)."""
+    net, params, apply_fn, args = net_and_params
+
+    # MOPED prior: exact closed form, so a modest MC average converges to it
+    bmodel, bp = bf.to_bayesian(apply_fn, params, delta=0.1, freeze=True)
+    kl = float(bf.elbo.analytic_kl(bp, bmodel.spec))
+    draws = []
+    for i in range(400):
+        _, log_p, log_q = bmodel.sample(bp, jax.random.key(i))
+        draws.append(float(log_q - log_p))
+    mc = np.mean(draws)
+    sem = np.std(draws) / np.sqrt(len(draws))
+    assert abs(kl - mc) < 5 * sem + 1e-3, (kl, mc, sem)
+    assert kl >= 0.0
+
+    # mixture prior: needs a key; estimator is unbiased so it should also
+    # land within noise of the brute-force MC average
+    bmodel2, bp2 = bf.to_bayesian(apply_fn, params, rng=jax.random.key(1))
+    kl2 = float(
+        bf.elbo.analytic_kl(bp2, bmodel2.spec, key=jax.random.key(7),
+                            mixture_draws=64)
+    )
+    draws2 = []
+    for i in range(400):
+        _, log_p, log_q = bmodel2.sample(bp2, jax.random.key(1000 + i))
+        draws2.append(float(log_q - log_p))
+    mc2 = np.mean(draws2)
+    sem2 = np.std(draws2) / np.sqrt(len(draws2))
+    assert abs(kl2 - mc2) < 6 * sem2 + 1e-2, (kl2, mc2, sem2)
+
+    # missing key for the mixture prior is a clear error
+    with pytest.raises(ValueError):
+        bf.elbo.analytic_kl(bp2, bmodel2.spec)

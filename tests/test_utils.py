@@ -325,3 +325,21 @@ def test_squad_punctuation_exact_decode_with_offsets_fn(tmp_path):
     assert squad_lib.decode_span(
         fw, context, fw["start_position"], fw["end_position"]
     ) == "Paris,"
+
+
+def test_expected_calibration_error():
+    from bayeformers_tpu.utils.metrics import expected_calibration_error
+
+    # perfectly calibrated hard predictions: confidence 1.0, always right
+    probs = np.eye(4)[np.array([0, 1, 2, 3])]
+    labels = np.array([0, 1, 2, 3])
+    assert expected_calibration_error(probs, labels) < 1e-12
+
+    # maximally mis-calibrated: confidence 1.0, always wrong -> ECE = 1
+    labels_wrong = np.array([1, 2, 3, 0])
+    assert abs(expected_calibration_error(probs, labels_wrong) - 1.0) < 1e-12
+
+    # 80% confidence, 50% accuracy -> ECE = 0.3
+    probs2 = np.tile(np.array([[0.8, 0.2]]), (100, 1))
+    labels2 = np.array([0] * 50 + [1] * 50)
+    assert abs(expected_calibration_error(probs2, labels2) - 0.3) < 1e-9
