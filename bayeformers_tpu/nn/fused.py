@@ -83,13 +83,22 @@ def fused_mc_apply(
     *args,
     convert_embeddings: bool = False,
     save_weights: bool = True,
+    antithetic: bool = False,
     **kwargs,
 ):
     """S-sample fused forward. Returns ``(outputs, aux)`` like
     ``BayesianModel.mc_apply``: outputs have a leading (S, B, ...) axis and
     aux carries (S,)-shaped ``log_prior`` / ``log_variational_posterior``.
+
+    ``antithetic=True`` (extension): samples (2t, 2t+1) share one weight
+    draw with opposite signs (w = mu ± sigma*eps) — classic antithetic
+    variates; unbiased, lower-variance, and the paired Pallas kernel
+    generates half the Gaussian noise. Requires even ``n_samples``.
     """
     S = n_samples
+    if antithetic and S % 2:
+        raise ValueError(f"antithetic needs an even n_samples; got {S}")
+    n_draws = S // 2 if antithetic else S
     paths = spec.paths
     path_index = {p: i for i, p in enumerate(paths)}
     mixture = (spec.prior.pi, spec.prior.sigma1, spec.prior.sigma2)
@@ -101,8 +110,13 @@ def fused_mc_apply(
     seen: set[str] = set()
 
     def layer_seeds(i: int) -> jax.Array:
-        keys = jax.random.split(jax.random.fold_in(key, i), S)
+        keys = jax.random.split(jax.random.fold_in(key, i), n_draws)
         return ops_common.seed_from_key(keys)
+
+    def interleave(a_half: jax.Array) -> jax.Array:
+        """(S/2, ...) draws -> (S, ...) antithetic ± pairs along axis 0."""
+        pair = jnp.stack([a_half, -a_half], axis=1)
+        return pair.reshape((-1,) + a_half.shape[1:])
 
     def handle_dense(mod, x):
         kpath = SEP.join(mod.path + ("kernel",))
@@ -115,23 +129,27 @@ def fused_mc_apply(
             # mu is frozen at the pretrained weights == the prior center, so
             # the kernel can skip streaming a separate prior_mu array
             y, lq, lp = ops_fused.bayes_linear(
-                xs, mu, rho, seeds, prior_on_mu=True, save_weights=save_weights
+                xs, mu, rho, seeds, prior_on_mu=True,
+                save_weights=save_weights, antithetic=antithetic,
             )
         elif spec.moped:
             y, lq, lp = ops_fused.bayes_linear(
                 xs, mu, rho, seeds, prior_mu=bparams.prior_mu[kpath],
-                save_weights=save_weights,
+                save_weights=save_weights, antithetic=antithetic,
             )
         else:
             y, lq, lp = ops_fused.bayes_linear(
-                xs, mu, rho, seeds, mixture=mixture, save_weights=save_weights
+                xs, mu, rho, seeds, mixture=mixture,
+                save_weights=save_weights, antithetic=antithetic,
             )
         if mod.use_bias:
             bpath = SEP.join(mod.path + ("bias",))
             bmu = mod.variables["params"]["bias"]
             brho = bparams.rho[bpath]
             bkey = jax.random.fold_in(key, path_index[bpath])
-            beps = jax.random.normal(bkey, (S,) + bmu.shape, bmu.dtype)
+            beps = jax.random.normal(bkey, (n_draws,) + bmu.shape, bmu.dtype)
+            if antithetic:
+                beps = interleave(beps)
             bsig = dist.sigma_from_rho(brho)
             b = bmu[None] + bsig[None] * beps
             y = y + b[:, None, :].astype(y.dtype)  # keep bf16 activations bf16
@@ -152,7 +170,10 @@ def fused_mc_apply(
         seeds = layer_seeds(path_index[epath])
         # sampled_weights (not the raw regen kernel): the tables flow into
         # the loss, so the op must carry a reparametrization VJP on TPU
-        tables = ops_fused.sampled_weights(mu, rho, seeds)  # (S, V, D)
+        tables = ops_fused.sampled_weights(mu, rho, seeds)  # (S|S/2, V, D)
+        if antithetic:
+            # pair member 2t+1 mirrors 2t: tables = mu ± sigma*eps
+            tables = ops_fused.interleave_antithetic(tables, mu)
         lead = ids.shape
         ids_s = ids.reshape(S, -1)
         out = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(tables, ids_s)

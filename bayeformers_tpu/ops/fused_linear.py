@@ -523,6 +523,188 @@ def _pallas_bayes_linear_ktall(x, mu, rho, seeds, prior_mu, prior: tuple,
     return y, logq, logp
 
 
+# ---------------------------------------------------------------------------
+# Antithetic pair variant (extension estimator): samples (2t, 2t+1) share one
+# eps draw with opposite signs, w± = mu ± sigma*eps. Classic antithetic
+# variates — the MC-ELBO stays unbiased (eps is symmetric) with lower
+# variance, and the kernel generates HALF the Gaussian noise: one Box-Muller
+# pass covers two samples, with w_minus = 2*mu - w_plus costing only adds.
+# log_q is even in eps so both pair members share it; the frozen-MOPED
+# prior's log_p is even too (w - mu = ±sigma*eps); the general MOPED /
+# mixture priors get both signs evaluated explicitly.
+# ---------------------------------------------------------------------------
+
+
+def _anti_kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref,
+                 rho_ref, *rest):
+    if prior[0] == "gaussian":
+        pmu_ref, o_ref, logq_ref, logp_ref, w_ref = rest
+    else:
+        o_ref, logq_ref, logp_ref, w_ref = rest
+    j = pl.program_id(0)
+    s2 = pl.program_id(1)
+    i = pl.program_id(2)
+    _, kp, bn = w_ref.shape
+    UK, UN = common.UNIT_K, common.UNIT_N
+
+    @pl.when(i == 0)
+    def _regen_and_logprob():
+        t_q = jnp.zeros((), jnp.float32)
+        t_p0 = jnp.zeros((), jnp.float32)
+        t_p1 = jnp.zeros((), jnp.float32)
+        for c in range(kp // UK):
+            for t in range(bn // UN):
+                rows = slice(c * UK, (c + 1) * UK)
+                cols = slice(t * UN, (t + 1) * UN)
+                eps = common.unit_eps(seed_ref[s2], j * (bn // UN) + t, c)
+                mu_u = mu_ref[rows, cols]
+                se = jax.nn.softplus(rho_ref[rows, cols]) * eps
+                w0 = mu_u + se
+                w1 = mu_u - se
+                w_ref[0, rows, cols] = w0.astype(w_ref.dtype)
+                w_ref[1, rows, cols] = w1.astype(w_ref.dtype)
+
+                aligned = (kp == k_act) and (pl.num_programs(0) * bn == n_act)
+                if aligned:
+                    mask = None
+                else:
+                    r_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 0)
+                        + c * UK
+                    )
+                    c_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 1)
+                        + j * bn + t * UN
+                    )
+                    mask = (r_idx < k_act) & (c_idx < n_act)
+                zero = jnp.zeros_like(w0)
+
+                logq_terms = -0.5 * eps * eps  # even in eps: shared by pair
+                if prior[0] == "gaussian":
+                    d = (mu_u - pmu_ref[rows, cols]) / MOPED_PRIOR_SIGMA
+                    zs = se / MOPED_PRIOR_SIGMA
+                    logp0 = -0.5 * (d + zs) * (d + zs)
+                    logp1 = -0.5 * (d - zs) * (d - zs)
+                elif prior[0] == "gaussian_on_mu":
+                    zs = se / MOPED_PRIOR_SIGMA
+                    logp0 = -0.5 * zs * zs  # even: shared by pair
+                    logp1 = None
+                else:
+                    _, pi, s1_, s2_ = prior
+                    logp0 = logprob_lib._mixture_log_pdf(w0, pi, s1_, s2_)
+                    logp1 = logprob_lib._mixture_log_pdf(w1, pi, s1_, s2_)
+
+                if mask is None:
+                    t_q += jnp.sum(logq_terms)
+                    t_p0 += jnp.sum(logp0)
+                    if logp1 is not None:
+                        t_p1 += jnp.sum(logp1)
+                else:
+                    t_q += jnp.sum(jnp.where(mask, logq_terms, zero))
+                    t_p0 += jnp.sum(jnp.where(mask, logp0, zero))
+                    if logp1 is not None:
+                        t_p1 += jnp.sum(jnp.where(mask, logp1, zero))
+        if prior[0] == "gaussian_on_mu":
+            t_p1 = t_p0
+
+        @pl.when(j == 0)
+        def _init():
+            logq_ref[2 * s2, 0] = t_q
+            logq_ref[2 * s2 + 1, 0] = t_q
+            logp_ref[2 * s2, 0] = t_p0
+            logp_ref[2 * s2 + 1, 0] = t_p1
+
+        @pl.when(j > 0)
+        def _acc():
+            logq_ref[2 * s2, 0] += t_q
+            logq_ref[2 * s2 + 1, 0] += t_q
+            logp_ref[2 * s2, 0] += t_p0
+            logp_ref[2 * s2 + 1, 0] += t_p1
+
+    dt = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else config.dot_dtype()
+    prec = config.kernel_dot_precision(dt)
+    for half in range(2):
+        acc = jnp.dot(
+            x_ref[half].astype(dt), w_ref[half].astype(dt),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        o_ref[half] = acc.astype(o_ref.dtype)
+
+
+def _pallas_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple,
+                              bn: int, bm: int, save_w: bool = False):
+    S, M, K = x.shape
+    S2 = S // 2
+    _, N = mu.shape
+    Kp, Np = _pad_kn(K, N)
+    w_dtype = _w_dtype(x.dtype)
+    Mp = common.round_up(M, bm)
+    xp = jnp.pad(x, ((0, 0), (0, Mp - M), (0, Kp - K)))
+    mup = jnp.pad(mu, ((0, Kp - K), (0, Np - N)))
+    rhop = jnp.pad(rho, ((0, Kp - K), (0, Np - N)))
+    grid = (Np // bn, S2, Mp // bm)
+
+    weight_spec = pl.BlockSpec(
+        (Kp, bn), lambda j, s2, i: (0, j), memory_space=pltpu.VMEM
+    )
+    inputs = [seeds_half.astype(jnp.int32), xp, mup, rhop]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        # sample-dim block of 2: one grid step sees both pair members
+        pl.BlockSpec((2, bm, Kp), lambda j, s2, i: (s2, i, 0),
+                     memory_space=pltpu.VMEM),
+        weight_spec,
+        weight_spec,
+    ]
+    if prior[0] == "gaussian":
+        inputs.append(jnp.pad(prior_mu, ((0, Kp - K), (0, Np - N))))
+        in_specs.append(weight_spec)
+
+    out_specs = [
+        pl.BlockSpec((2, bm, bn), lambda j, s2, i: (s2, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, 1), lambda j, s2, i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((S, 1), lambda j, s2, i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((S, Mp, Np), x.dtype),
+        jax.ShapeDtypeStruct((S, 1), jnp.float32),
+        jax.ShapeDtypeStruct((S, 1), jnp.float32),
+    ]
+    scratch_shapes = []
+    if save_w:
+        out_specs.append(
+            pl.BlockSpec((2, Kp, bn), lambda j, s2, i: (s2, 0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((S, Kp, Np), w_dtype))
+    else:
+        scratch_shapes.append(pltpu.VMEM((2, Kp, bn), w_dtype))
+
+    outs = pl.pallas_call(
+        functools.partial(_anti_kernel, K, N, prior, save_w),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * Mp * Kp * Np,
+            bytes_accessed=4 * (S * Mp * Kp + 2 * Kp * Np + S * Mp * Np),
+            transcendentals=S2 * Kp * Np * 4,
+        ),
+    )(*inputs)
+    y = outs[0][:, :M, :N]
+    logq, logp = outs[1][:, 0], outs[2][:, 0]
+    n_elems = K * N
+    logq = logq - jnp.sum(jnp.log(jax.nn.softplus(rho))) - n_elems * LOG_SQRT_2PI
+    if prior[0] in ("gaussian", "gaussian_on_mu"):
+        logp = logp - n_elems * (LOG_SQRT_2PI + math.log(MOPED_PRIOR_SIGMA))
+    if save_w:
+        return y, logq, logp, outs[3][:, :K, :N]
+    return y, logq, logp
+
+
 def _fullk_regen_kernel(seed_ref, mu_ref, rho_ref, w_ref):
     """Regenerate W with the same unit-canonical eps stream as _kernel."""
     j = pl.program_id(0)
@@ -561,8 +743,8 @@ def _pallas_fullk_regen(mu, rho, seeds):
     return w[:, :K, :N]
 
 
-def _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple):
-    w = split_lib.naive_weights(mu, rho, seeds)
+def _naive_from_w(x, w, mu, rho, prior_mu, prior: tuple):
+    """Matmul + both log-probs from already-materialized weights (XLA)."""
     y = jnp.einsum(
         "smk,skn->smn", x, w.astype(x.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)
@@ -581,6 +763,24 @@ def _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple):
         _, pi, s1, s2 = prior
         logp = jnp.sum(logprob_lib._mixture_log_pdf(w, pi, s1, s2), axis=(1, 2))
     return y, logq, logp
+
+
+def _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple):
+    return _naive_from_w(
+        x, split_lib.naive_weights(mu, rho, seeds), mu, rho, prior_mu, prior
+    )
+
+
+def interleave_antithetic(w_half: jax.Array, mu: jax.Array) -> jax.Array:
+    """(S/2, K, N) independent draws -> (S, K, N) antithetic pairs
+    ``(w, 2*mu - w)`` at (2t, 2t+1)."""
+    pair = jnp.stack([w_half, 2.0 * mu[None] - w_half], axis=1)
+    return pair.reshape((-1,) + w_half.shape[1:])
+
+
+def _naive_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple):
+    w = interleave_antithetic(split_lib.naive_weights(mu, rho, seeds_half), mu)
+    return _naive_from_w(x, w, mu, rho, prior_mu, prior)
 
 
 def _regen(mu, rho, seeds):
@@ -713,9 +913,87 @@ def _bwd_saved(prior, res, cotangents):
 _bayes_linear_saved.defvjp(_fwd_saved, _bwd_saved)
 
 
+# ---------------------------------------------------------------------------
+# Antithetic custom VJPs. Backward is _bwd_common unchanged: odd samples are
+# exact reparametrized draws at eps' = -eps, and backward reconstructs eps
+# from (w - mu)/sigma, so the pair's gradients fall out of the same algebra.
+# ---------------------------------------------------------------------------
+
+
+def _regen_anti(mu, rho, seeds_half):
+    return interleave_antithetic(_regen(mu, rho, seeds_half), mu)
+
+
+def _anti_tiles(x, mu, prior: tuple):
+    """(bn, bm) for the paired kernel (doubled x/o/w VMEM); None if unfit."""
+    kp, np_ = _pad_kn(x.shape[-1], mu.shape[1])
+    if kp > MAX_FULLK:
+        return None
+    w_bytes = jnp.dtype(_w_dtype(x.dtype)).itemsize
+    return _pick_bn_bm(
+        kp, np_, x.shape[1], _n_weight_arrays(prior),
+        x_bytes=2 * x.dtype.itemsize, w_bytes=2 * w_bytes,
+    )
+
+
+def _impl_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple, save_w: bool):
+    if split_lib.use_pallas():
+        tiles = _anti_tiles(x, mu, prior)
+        if tiles is not None:
+            return _pallas_bayes_linear_anti(
+                x, mu, rho, seeds_half, prior_mu, prior, *tiles, save_w=save_w
+            )
+    out = _naive_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior)
+    if save_w:
+        w = interleave_antithetic(
+            split_lib.naive_weights(mu, rho, seeds_half), mu
+        )
+        return (*out, w)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple):
+    return _impl_anti(x, mu, rho, seeds_half, prior_mu, prior, save_w=False)[:3]
+
+
+def _fwd_anti(x, mu, rho, seeds_half, prior_mu, prior):
+    return _bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior), (
+        x, mu, rho, seeds_half, prior_mu,
+    )
+
+
+def _bwd_anti(prior, res, cotangents):
+    x, mu, rho, seeds_half, prior_mu = res
+    if split_lib.use_pallas() and _anti_tiles(x, mu, prior) is not None:
+        w = _regen_anti(mu, rho, seeds_half)
+    else:
+        w = interleave_antithetic(
+            split_lib.naive_weights(mu, rho, seeds_half), mu
+        )
+    return _bwd_common(prior, x, mu, rho, prior_mu, w, seeds_half, cotangents)
+
+
+_bayes_linear_anti.defvjp(_fwd_anti, _bwd_anti)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _bayes_linear_saved_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple):
+    return _bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior)
+
+
+def _fwd_saved_anti(x, mu, rho, seeds_half, prior_mu, prior):
+    y, lq, lp, w = _impl_anti(x, mu, rho, seeds_half, prior_mu, prior,
+                              save_w=True)
+    return (y, lq, lp), (x, mu, rho, prior_mu, w, seeds_half)
+
+
+_bayes_linear_saved_anti.defvjp(_fwd_saved_anti, _bwd_saved)
+
+
 def bayes_linear(
     x, mu, rho, seeds, *, mixture=None, prior_mu=None, prior_on_mu: bool = False,
-    save_weights: bool = True,
+    save_weights: bool = True, antithetic: bool = False,
 ):
     """Combined sampled matmul + per-sample log-probs in one op.
 
@@ -727,6 +1005,11 @@ def bayes_linear(
       when mu is frozen at the pretrained weights (``freeze=True``, the
       reference GLUE/SQuAD recipe `examples/bert_glue.py:167`); saves a third
       weight-array stream in the kernel.
+
+    ``antithetic=True`` (extension estimator): samples (2t, 2t+1) share one
+    eps draw with opposite signs — ``seeds`` must then have length S/2 and x
+    an even sample dim. Unbiased with lower MC variance, and the paired
+    kernel generates half the Gaussian noise.
 
     Returns ``(y, log_q, log_p)`` with ``log_*`` of shape (S,).
     """
@@ -743,6 +1026,22 @@ def bayes_linear(
     else:
         prior = ("mixture",) + tuple(float(v) for v in mixture)
         prior_mu = mu  # unused dummy; zero cotangent in backward
+
+    if antithetic:
+        if x.shape[0] % 2 or x.shape[0] != 2 * seeds.shape[0]:
+            raise ValueError(
+                f"antithetic needs an even sample dim with len(seeds) == S/2; "
+                f"got S={x.shape[0]}, len(seeds)={seeds.shape[0]}"
+            )
+        # Mosaic crashes compiling the pair kernel's W-residual output for
+        # f32 HIGHEST-precision dots at Kp > 2048 (reproduced: every tile
+        # choice at K=3072 f32; bf16 and all K <= 2048 are fine). Those
+        # layers take the non-saved VJP — backward regenerates the pair
+        # from the half-seeds instead of reading residuals.
+        kp_anti = common.round_up(x.shape[-1], common.UNIT_K)
+        if save_weights and not (x.dtype == jnp.float32 and kp_anti > 2048):
+            return _bayes_linear_saved_anti(x, mu, rho, seeds, prior_mu, prior)
+        return _bayes_linear_anti(x, mu, rho, seeds, prior_mu, prior)
 
     # Experimental routing: layers at or below this size run the pure-XLA
     # naive path (jnp sampling + autodiff) even on TPU — XLA then owns the

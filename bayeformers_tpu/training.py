@@ -59,9 +59,13 @@ def qa_span_loss(out, batch):
 
 
 def pick_mc(bmodel: BayesianModel, fused: bool, estimator: Optional[str] = None):
-    """Resolve the MC forward: 'fused' (Pallas), 'naive' (vmapped tier-A), or
-    'flipout' (per-example decorrelated perturbations, nn/flipout.py).
+    """Resolve the MC forward: 'fused' (Pallas), 'naive' (vmapped tier-A),
+    'flipout' (per-example decorrelated perturbations, nn/flipout.py), or
+    'antithetic' (fused with ± paired weight draws — unbiased, lower
+    variance, half the on-chip noise generation; needs even n_samples).
     ``estimator`` overrides the legacy ``fused`` flag when given."""
+    import functools
+
     if estimator is None:
         estimator = "fused" if fused else "naive"
     try:
@@ -69,6 +73,9 @@ def pick_mc(bmodel: BayesianModel, fused: bool, estimator: Optional[str] = None)
             "fused": bmodel.mc_apply_fused,
             "naive": bmodel.mc_apply,
             "flipout": bmodel.mc_apply_flipout,
+            "antithetic": functools.partial(
+                bmodel.mc_apply_fused, antithetic=True
+            ),
         }[estimator]
     except KeyError:
         raise ValueError(f"unknown estimator {estimator!r}") from None
@@ -133,6 +140,10 @@ def make_elbo_eval_step(
     # eval never runs backward, so skip writing sampled weights to HBM
     if (estimator is None and fused) or estimator == "fused":
         mc = functools.partial(bmodel.mc_apply_fused, save_weights=False)
+    elif estimator == "antithetic":
+        mc = functools.partial(
+            bmodel.mc_apply_fused, save_weights=False, antithetic=True
+        )
     else:
         mc = pick_mc(bmodel, fused, estimator)
 

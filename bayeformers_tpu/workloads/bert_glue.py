@@ -434,10 +434,11 @@ def main():
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--no-fused", action="store_true")
     parser.add_argument("--estimator", default=None,
-                        choices=["fused", "naive", "flipout"],
+                        choices=["fused", "naive", "flipout", "antithetic"],
                         help="MC gradient estimator for the Bayesian phase "
                              "(flipout: per-example decorrelated "
-                             "perturbations — try --samples 1)")
+                             "perturbations — try --samples 1; antithetic: "
+                             "± paired weight draws, even --samples)")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations (variational numerics stay f32)")
     parser.add_argument("--save-dir", default=None)

@@ -179,8 +179,10 @@ def train(
     resume: bool = False,
     dp: int = 1,
     tp: int = 1,
+    estimator: str | None = None,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
+    estimator = estimator or ("fused" if fused else "naive")
     writer = MetricsWriter(logs, name)
     dumper = Dumper(os.path.join(logs, name + ".results"))
 
@@ -283,7 +285,7 @@ def train(
 
     eval_step = training.make_elbo_eval_step(
         bmodel, samples, loss_fn=training.qa_span_loss, fused=fused,
-        input_keys=input_keys,
+        input_keys=input_keys, estimator=estimator,
     )
 
     def eval_bayesian(bparams, key):
@@ -299,7 +301,7 @@ def train(
                 report.update(nll=float(m["nll"]), acc=float(m["acc"]) * bsz,
                               acc_std=float(m["acc_std"]) * bsz, n=bsz)
             else:
-                mc = bmodel.mc_apply_fused if fused else bmodel.mc_apply
+                mc = training.pick_mc(bmodel, fused, estimator)
                 (s_log, e_log), _ = mc(
                     bparams, k, samples, **{k2: batch[k2] for k2 in input_keys}
                 )
@@ -349,11 +351,12 @@ def train(
         b_step = parallel_lib.make_dp_train_step(
             bmodel, btx, samples, n_batches, mesh,
             loss_fn=training.qa_span_loss, fused=True, input_keys=input_keys,
+            estimator=estimator,
         )
     else:
         b_step = training.make_elbo_train_step(
             bmodel, btx, samples, n_batches, loss_fn=training.qa_span_loss,
-            fused=fused, input_keys=input_keys,
+            fused=fused, input_keys=input_keys, estimator=estimator,
         )
 
     with dumper.section("bayesian_train"):
@@ -413,6 +416,9 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--no-fused", action="store_true")
+    parser.add_argument("--estimator", default=None,
+                        choices=["fused", "naive", "flipout", "antithetic"],
+                        help="MC gradient estimator for the Bayesian phase")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations (variational numerics stay f32)")
     parser.add_argument("--save-dir", default=None)
@@ -433,6 +439,7 @@ def main():
         lr=args.lr, size=args.size, bf16=args.bf16,
         pretrained=args.pretrained, seed=args.seed,
         limit_batches=args.limit_batches, fused=not args.no_fused,
+        estimator=args.estimator,
         save_dir=args.save_dir, resume=args.resume, dp=args.dp, tp=args.tp,
     )
     t0 = time.time()

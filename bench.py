@@ -113,10 +113,13 @@ def build(mode_dtype):
 def bench_train(bmodel, bparams, inputs, labels, mode, n_samples=S):
     tx = masked_optimizer(optax.adamw(2e-5), bmodel.trainable_mask(bparams))
     opt_state = tx.init(bparams)
+    import functools
+
     mc = {
         "fused": bmodel.mc_apply_fused,
         "naive": bmodel.mc_apply,
         "flipout": bmodel.mc_apply_flipout,
+        "antithetic": functools.partial(bmodel.mc_apply_fused, antithetic=True),
     }[mode]
 
     def step(state, i):
@@ -225,6 +228,9 @@ def main():
     bmodel16, bparams16 = build(jnp.bfloat16)
     results["naive_bf16"] = bench_train(bmodel16, bparams16, inputs, labels, "naive")
     results["fused_bf16"] = bench_train(bmodel16, bparams16, inputs, labels, "fused")
+    results["antithetic_bf16"] = bench_train(
+        bmodel16, bparams16, inputs, labels, "antithetic"
+    )
     results["flipout_s1_bf16"] = bench_train(
         bmodel16, bparams16, inputs, labels, "flipout", n_samples=1
     )

@@ -224,3 +224,170 @@ def test_fused_no_double_count_for_shared_modules():
         np.asarray(aux_shared["log_variational_posterior"]),
         np.asarray(aux_single["log_variational_posterior"]), rtol=1e-6,
     )
+
+
+def test_antithetic_pairs_mirror_and_match_op_level(setup):
+    """Antithetic estimator (extension): op-level pair identity
+    w[2t+1] = 2*mu - w[2t], shared even log_q, and the fused forward's pair
+    structure on the CPU naive dispatch."""
+    rng = np.random.default_rng(1)
+    S, M, K, N = 4, 6, 16, 8
+    x = jnp.asarray(rng.normal(size=(S, M, K)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(K, N)) * 0.1, jnp.float32)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)), jnp.float32)
+    seeds = jnp.arange(S // 2, dtype=jnp.int32)
+
+    y, lq, lp = ops_flinear.bayes_linear(
+        x, mu, rho, seeds, prior_on_mu=True, antithetic=True
+    )
+    # reconstruct weights from the regen path the backward uses
+    w = ops_flinear.interleave_antithetic(
+        ops_linear.naive_weights(mu, rho, seeds), mu
+    )
+    np.testing.assert_allclose(
+        np.asarray(w[1]), np.asarray(2 * mu - w[0]), rtol=1e-6)
+    for s in range(S):
+        np.testing.assert_allclose(
+            np.asarray(y[s]), np.asarray(x[s] @ w[s]), rtol=2e-5, atol=2e-5)
+    # log_q and the frozen-MOPED log_p are even in eps: pairs share values
+    np.testing.assert_allclose(np.asarray(lq[0::2]), np.asarray(lq[1::2]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lp[0::2]), np.asarray(lp[1::2]),
+                               rtol=1e-6)
+
+    # general-MOPED prior: pair members differ but match the dense math
+    pmu = jnp.asarray(rng.normal(size=(K, N)) * 0.1, jnp.float32)
+    _, lq2, lp2 = ops_flinear.bayes_linear(
+        x, mu, rho, seeds, prior_mu=pmu, antithetic=True
+    )
+    from bayeformers_tpu.core.prior import MOPED_PRIOR_SIGMA
+    z = (w - pmu[None]) / MOPED_PRIOR_SIGMA
+    lp_ref = np.sum(
+        -dist.LOG_SQRT_2PI - np.log(MOPED_PRIOR_SIGMA) - 0.5 * np.asarray(z) ** 2,
+        axis=(1, 2),
+    )
+    np.testing.assert_allclose(np.asarray(lp2), lp_ref, rtol=1e-5)
+
+
+def test_antithetic_gradients_match_dense_reference(setup):
+    """Grads through the antithetic op == autodiff through the dense
+    formula at the same (paired) weights."""
+    rng = np.random.default_rng(2)
+    S, M, K, N = 4, 5, 16, 8
+    x = jnp.asarray(rng.normal(size=(S, M, K)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=(K, N)) * 0.1, jnp.float32)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)), jnp.float32)
+    seeds = jnp.arange(S // 2, dtype=jnp.int32)
+
+    def loss_op(mu, rho, x):
+        y, lq, lp = ops_flinear.bayes_linear(
+            x, mu, rho, seeds, prior_on_mu=True, antithetic=True
+        )
+        return jnp.sum(y**2) + jnp.sum(lq) - jnp.sum(lp)
+
+    def loss_ref(mu, rho, x):
+        w_half = ops_linear.naive_weights(mu, rho, seeds)
+        w = ops_flinear.interleave_antithetic(w_half, mu)
+        y = jnp.einsum("smk,skn->smn", x, w)
+        sigma = jax.nn.softplus(rho)
+        eps = (w - mu[None]) / sigma[None]
+        lq = jnp.sum(-dist.LOG_SQRT_2PI - jnp.log(sigma)[None] - 0.5 * eps**2,
+                     axis=(1, 2))
+        from bayeformers_tpu.core.prior import MOPED_PRIOR_SIGMA
+        z = (w - mu[None]) / MOPED_PRIOR_SIGMA
+        lp = jnp.sum(
+            -dist.LOG_SQRT_2PI - jnp.log(MOPED_PRIOR_SIGMA) - 0.5 * z**2,
+            axis=(1, 2),
+        )
+        return jnp.sum(y**2) + jnp.sum(lq) - jnp.sum(lp)
+
+    g_op = jax.grad(loss_op, argnums=(0, 1, 2))(mu, rho, x)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(mu, rho, x)
+    for a, b, name in zip(g_op, g_ref, ("dmu", "drho", "dx")):
+        # rtol covers f32 summation-order noise between the tile-fused
+        # reduction and plain autodiff
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5, err_msg=name)
+
+
+def test_antithetic_fused_mc_apply_trains(setup):
+    """End-to-end: antithetic estimator through the interception tier —
+    pairs share log_q, ELBO trains, frozen mu intact."""
+    net, apply_fn, _, _, x = setup
+    params = net.init(jax.random.key(0), x)["params"]
+    bmodel, bp = bf.to_bayesian(apply_fn, params, delta=0.05, freeze=True)
+
+    out, aux = bmodel.mc_apply_fused(bp, jax.random.key(3), 4, x,
+                                     antithetic=True)
+    assert out.shape[0] == 4
+    lq = np.asarray(aux["log_variational_posterior"])
+    np.testing.assert_allclose(lq[0::2], lq[1::2], rtol=1e-6)
+    # pair members see different weights -> different outputs
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+    # odd n_samples rejected
+    with pytest.raises(ValueError):
+        bmodel.mc_apply_fused(bp, jax.random.key(3), 3, x, antithetic=True)
+
+    y = jnp.asarray(np.random.default_rng(3).integers(0, 5, (x.shape[0],)))
+    tx = masked_optimizer(optax.adam(5e-3), bmodel.trainable_mask(bp))
+    opt = tx.init(bp)
+
+    @jax.jit
+    def step(bp, opt, key):
+        def loss_fn(bp):
+            out, aux = bmodel.mc_apply_fused(bp, key, 4, x, antithetic=True)
+            nll = bf.elbo.cross_entropy_sum(bf.elbo.mc_logits_mean(out), y)
+            return bf.elbo.elbo_loss(
+                nll, aux["log_prior"], aux["log_variational_posterior"], 4
+            )
+        loss, g = jax.value_and_grad(loss_fn)(bp)
+        up, opt = tx.update(g, opt, bp)
+        return optax.apply_updates(bp, up), opt, loss
+
+    losses = []
+    key = jax.random.key(4)
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        bp, opt, loss = step(bp, opt, k)
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_antithetic_is_unbiased_estimator(setup):
+    """Mean over many antithetic pairs == mean over independent draws
+    (both estimate E[f(mu + sigma*eps)]) within MC error."""
+    rng = np.random.default_rng(5)
+    M, K, N = 4, 8, 4
+    x0 = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    # both pair slots see the SAME input so the pair-mean isolates the
+    # weight average (in real use activations diverge per sample)
+    x = jnp.stack([x0, x0])
+    mu = jnp.asarray(rng.normal(size=(K, N)) * 0.3, jnp.float32)
+    rho = jnp.asarray(rng.uniform(-2, -1, (K, N)), jnp.float32)
+
+    def mean_y(antithetic, n, seed0):
+        total = np.zeros((M, N), np.float64)
+        for t in range(n):
+            seeds = jnp.asarray([seed0 + t], jnp.int32)
+            if antithetic:
+                y, _, _ = ops_flinear.bayes_linear(
+                    x, mu, rho, seeds, prior_on_mu=True, antithetic=True,
+                    save_weights=False,
+                )
+                total += np.asarray(jnp.mean(y, 0), np.float64)
+            else:
+                y, _, _ = ops_flinear.bayes_linear(
+                    x[:1], mu, rho, seeds, prior_on_mu=True,
+                    save_weights=False,
+                )
+                total += np.asarray(y[0], np.float64)
+        return total / n
+
+    # the exact expectation is x @ mu (linear in w)
+    exact = np.asarray(x0 @ mu, np.float64)
+    anti = mean_y(True, 400, 0)
+    assert np.abs(anti - exact).max() < 0.05
+    # antithetic pairs cancel the linear eps term exactly: each pair mean
+    # is x @ mu up to float error, far tighter than independent sampling
+    assert np.abs(anti - exact).max() < 1e-4

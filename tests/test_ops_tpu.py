@@ -308,3 +308,126 @@ def test_ktall_route_parity():
     )
     assert y2.shape == (S, M, 380)
     assert np.isfinite(float(jnp.sum(lq2)))
+
+
+@pytest.mark.parametrize("K,N", [(256, 384), (768, 768), (3072, 768)])
+def test_antithetic_kernel_parity(K, N):
+    """Paired antithetic kernel: exact ± mirror weights, forward parity vs
+    the regeneration stream, shared even log terms, and grads vs dense."""
+    from bayeformers_tpu.ops import fused_linear as fl
+
+    rng = np.random.default_rng(0)
+    S, M = 4, 64
+    x = jnp.asarray(rng.normal(size=(S, M, K)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+    seeds = jnp.arange(1, S // 2 + 1, dtype=jnp.int32)
+
+    # the paired route must actually be taken for these shapes
+    assert fl._anti_tiles(x, mu, ("gaussian_on_mu",)) is not None
+
+    y, lq, lp = fl.bayes_linear(
+        x, mu, rho, seeds, prior_on_mu=True, antithetic=True,
+        save_weights=False,
+    )
+    w = fl._regen_anti(mu, rho, seeds)
+    np.testing.assert_allclose(
+        np.asarray(w[1]), np.asarray(2 * mu - w[0]), rtol=1e-6, atol=1e-7)
+    yref = jnp.einsum("smk,skn->smn", x, w)
+    rel = float(jnp.max(jnp.abs(y - yref)) / (jnp.max(jnp.abs(yref)) + 1e-9))
+    assert rel < 1e-5
+    np.testing.assert_allclose(np.asarray(lq[0::2]), np.asarray(lq[1::2]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lp[0::2]), np.asarray(lp[1::2]),
+                               rtol=1e-6)
+
+    # f64 closed-form log-prob parity at the sampled weights
+    w64 = np.asarray(w, np.float64)
+    mu64 = np.asarray(mu, np.float64)
+    sig64 = np.logaddexp(0.0, np.asarray(rho, np.float64))
+    eps64 = (w64 - mu64) / sig64
+    lq_ref = np.sum(
+        -0.5 * math.log(2 * math.pi) - np.log(sig64) - 0.5 * eps64**2,
+        axis=(1, 2),
+    )
+    np.testing.assert_allclose(np.asarray(lq, np.float64), lq_ref, rtol=1e-5)
+
+    # saved-W variant returns identical values (and grads flow)
+    def loss(mu, rho):
+        y2, lq2, lp2 = fl.bayes_linear(
+            x, mu, rho, seeds, prior_on_mu=True, antithetic=True,
+            save_weights=True,
+        )
+        return jnp.sum(y2**2) * 1e-3 + jnp.sum(lq2) - jnp.sum(lp2)
+
+    # dense reference AT the kernel's paired draw: fix eps, rebuild
+    # ws = mu + sigma*eps so autodiff flows the reparametrization exactly
+    w_const = fl._regen_anti(mu, rho, seeds)
+
+    def loss_ref(mu, rho):
+        sigma = jax.nn.softplus(rho)
+        eps = jax.lax.stop_gradient((w_const - mu[None]) / sigma[None])
+        wr = mu[None] + sigma[None] * eps
+        yr = jnp.einsum("smk,skn->smn", x, wr)
+        lqr = jnp.sum(
+            -0.5 * math.log(2 * math.pi) - jnp.log(sigma)[None]
+            - 0.5 * eps**2, axis=(1, 2),
+        )
+        z = sigma[None] * eps / MOPED_PRIOR_SIGMA
+        lpr = jnp.sum(
+            -0.5 * math.log(2 * math.pi) - math.log(MOPED_PRIOR_SIGMA)
+            - 0.5 * z**2, axis=(1, 2),
+        )
+        return jnp.sum(yr**2) * 1e-3 + jnp.sum(lqr) - jnp.sum(lpr)
+
+    g = jax.grad(loss, argnums=(0, 1))(mu, rho)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(mu, rho)
+    for a, b, name in zip(g, g_ref, ("dmu", "drho")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-4, err_msg=name)
+
+
+def test_antithetic_bf16_and_fused_apply():
+    """bf16 activations through the paired kernel + the interception tier:
+    pair mirror structure and finite training-grade gradients on TPU."""
+    import bayeformers_tpu as bf
+    import flax.linen as nn
+    from bayeformers_tpu.ops import fused_linear as fl
+
+    rng = np.random.default_rng(3)
+    S, M, K, N = 4, 128, 768, 768
+    x = jnp.asarray(rng.normal(size=(S, M, K)), jnp.bfloat16)
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+    seeds = jnp.arange(S // 2, dtype=jnp.int32)
+    y, lq, lp = fl.bayes_linear(
+        x, mu, rho, seeds, prior_on_mu=True, antithetic=True,
+        save_weights=False,
+    )
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(lq[0::2]), np.asarray(lq[1::2]),
+                               rtol=1e-6)
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(8)(nn.relu(nn.Dense(256)(x)))
+
+    net = Tiny()
+    xs = jnp.asarray(rng.normal(size=(8, 256)), jnp.float32)
+    params = net.init(jax.random.key(0), xs)["params"]
+    apply_fn = lambda p, a: net.apply({"params": p}, a)
+    bmodel, bp = bf.to_bayesian(apply_fn, params, delta=0.05, freeze=True)
+    labels = jnp.asarray(rng.integers(0, 8, (8,)))
+
+    def loss_fn(bp, key):
+        out, aux = bmodel.mc_apply_fused(bp, key, 4, xs, antithetic=True)
+        nll = bf.elbo.cross_entropy_sum(bf.elbo.mc_logits_mean(out), labels)
+        return bf.elbo.elbo_loss(
+            nll, aux["log_prior"], aux["log_variational_posterior"], 4
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(bp, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    gmax = max(float(jnp.abs(v).max()) for v in grads.rho.values())
+    assert np.isfinite(gmax) and gmax > 0

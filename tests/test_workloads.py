@@ -117,3 +117,16 @@ def test_bert_squad_dp_tiny(tmp_path):
         seed=0, dp=2,
     )
     assert np.isfinite(score)
+
+
+@pytest.mark.slow
+def test_bert_glue_antithetic_estimator_tiny(tmp_path):
+    from bayeformers_tpu.workloads import bert_glue
+
+    acc = bert_glue.train(
+        exp="t-anti", model_name="bert", delta=0.05, weight_decay=0.0,
+        logs=str(tmp_path / "logs"), epochs=1, b_epochs=1, samples=2,
+        batch_size=4, size="tiny", limit_batches=3, seed=0,
+        estimator="antithetic",
+    )
+    assert 0.0 <= acc <= 1.0
