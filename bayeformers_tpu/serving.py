@@ -1,0 +1,120 @@
+"""Batched posterior-predictive inference engine (serving tier).
+
+The reference stops at training scripts; deploying a converted model means
+hand-rolling the MC loop per request. This module packages the serving path
+the framework is built for: a ``Predictor`` that jit-compiles one fused
+S-sample forward per (batch, sequence) bucket, pads ragged request batches
+to those buckets (so XLA never sees a fresh shape at request time), skips
+the sampled-weight residual writes (``save_weights=False`` — inference runs
+no backward), and returns calibrated posterior-predictive summaries
+(mean probs, epistemic std, predictive entropy) rather than raw logits.
+
+Deterministic serving: each request's MC noise is derived from a caller
+seed via ``jax.random.fold_in``, so identical (inputs, seed) pairs
+reproduce bit-identical outputs across processes on the same hardware —
+the property audits of uncertainty-gated systems need.
+
+Usage::
+
+    predictor = Predictor(bmodel, bparams, n_samples=10,
+                          batch_sizes=(8, 32), seq_lens=(128,))
+    out = predictor(batch, seed=123)      # dict of np arrays, depadded
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bucket(value: int, sizes: tuple[int, ...], kind: str) -> int:
+    for s in sorted(sizes):
+        if value <= s:
+            return s
+    raise ValueError(
+        f"{kind}={value} exceeds the largest configured bucket {max(sizes)}; "
+        f"raise Predictor({kind}s=...) or shard the request"
+    )
+
+
+@dataclasses.dataclass
+class Predictor:
+    """Bucketed, jit-cached Bayesian inference over a converted model.
+
+    ``batch_sizes`` / ``seq_lens`` define the compile buckets; a request of
+    ragged size is right-padded (ids with ``pad_id``, attention mask with
+    zeros) up to the smallest bucket that fits, so serving traffic reuses a
+    handful of compiled programs. Padded rows/positions are dropped before
+    returning.
+    """
+
+    bmodel: Any
+    bparams: Any
+    n_samples: int = 10
+    batch_sizes: tuple[int, ...] = (1, 8, 32)
+    seq_lens: tuple[int, ...] = (128,)
+    pad_id: int = 0
+    antithetic: bool = False
+    input_keys: tuple[str, ...] = (
+        "input_ids", "attention_mask", "token_type_ids"
+    )
+
+    def __post_init__(self):
+        if self.antithetic and self.n_samples % 2:
+            raise ValueError("antithetic serving needs an even n_samples")
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _run(bparams, key, inputs):
+            logits, _ = self.bmodel.mc_apply_fused(
+                bparams, key, self.n_samples, save_weights=False,
+                antithetic=self.antithetic, **inputs,
+            )
+            probs_s = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = jnp.mean(probs_s, axis=0)
+            entropy = -jnp.sum(
+                probs * jnp.log(jnp.clip(probs, 1e-12)), axis=-1
+            )
+            return {
+                "probs": probs,
+                "epistemic_std": jnp.std(probs_s, axis=0),
+                "entropy": entropy,
+                "pred": jnp.argmax(probs, axis=-1),
+            }
+
+        self._run = _run
+
+    def warmup(self, seed: int = 0) -> int:
+        """Compile every (batch, seq) bucket ahead of traffic; returns the
+        number of programs compiled."""
+        n = 0
+        for b in self.batch_sizes:
+            for L in self.seq_lens:
+                batch = {
+                    "input_ids": np.full((b, L), self.pad_id, np.int32),
+                    "attention_mask": np.zeros((b, L), np.int32),
+                    "token_type_ids": np.zeros((b, L), np.int32),
+                }
+                self(batch, seed=seed)
+                n += 1
+        return n
+
+    def __call__(self, batch: dict, seed: int = 0) -> dict:
+        """Run one request batch; returns depadded numpy arrays."""
+        inputs = {k: np.asarray(batch[k]) for k in self.input_keys
+                  if k in batch}
+        n, L = inputs["input_ids"].shape
+        nb = _bucket(n, self.batch_sizes, "batch_size")
+        lb = _bucket(L, self.seq_lens, "seq_len")
+        padded = {}
+        for k, v in inputs.items():
+            fill = self.pad_id if k == "input_ids" else 0
+            out = np.full((nb, lb), fill, v.dtype)
+            out[:n, :L] = v
+            padded[k] = jnp.asarray(out)
+        key = jax.random.fold_in(jax.random.key(seed), nb * 100003 + lb)
+        out = self._run(self.bparams, key, padded)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}

