@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from bayeformers_tpu.core import distributions as dist
 from bayeformers_tpu.core import prior as prior_lib
+from bayeformers_tpu.ops import attention as ops_attention
 from bayeformers_tpu.ops import common as ops_common
 from bayeformers_tpu.ops import fused_linear as ops_fused
 from bayeformers_tpu.ops import logprob as ops_logprob
@@ -84,6 +85,7 @@ def fused_mc_apply(
     convert_embeddings: bool = False,
     save_weights: bool = True,
     antithetic: bool = False,
+    fuse_attention: bool | None = None,
     **kwargs,
 ):
     """S-sample fused forward. Returns ``(outputs, aux)`` like
@@ -95,6 +97,10 @@ def fused_mc_apply(
     variates; unbiased, lower-variance, and the paired Pallas kernel
     generates half the Gaussian noise. Requires even ``n_samples``.
     """
+    import os
+
+    if fuse_attention is None:
+        fuse_attention = os.environ.get("BAYEFORMERS_FUSE_ATTENTION", "1") != "0"
     S = n_samples
     if antithetic and S % 2:
         raise ValueError(f"antithetic needs an even n_samples; got {S}")
@@ -200,10 +206,65 @@ def fused_mc_apply(
             collected.append((lq, lp))
         return out.reshape(lead + (mu.shape[-1],))
 
+    def handle_self_attention(mod, f_args, f_kwargs):
+        """Run a whole HF self-attention block through the layout-preserving
+        mha op (ops/attention.py): q/k/v come from the SAME handle_dense
+        path (identical eps streams and KL bookkeeping as the per-Dense
+        interception), and the head-split transposes that XLA would insert
+        around the Pallas custom calls (~14 ms/step measured, PERF.md) never
+        materialize. Returns NotImplemented to fall back for any feature the
+        op does not cover (caching, cross-attention, head masking,
+        attention dropout, attention-weight outputs)."""
+        if getattr(mod, "causal", False):
+            return NotImplemented
+        hidden = f_args[0]
+        attention_mask = (
+            f_args[1] if len(f_args) > 1 else f_kwargs.get("attention_mask")
+        )
+        layer_head_mask = (
+            f_args[2] if len(f_args) > 2 else f_kwargs.get("layer_head_mask")
+        )
+        if layer_head_mask is not None:
+            return NotImplemented
+        if f_kwargs.get("key_value_states") is not None:
+            return NotImplemented
+        if f_kwargs.get("init_cache", False):
+            return NotImplemented
+        if f_kwargs.get("output_attentions", False):
+            return NotImplemented
+        p_drop = getattr(
+            getattr(mod, "config", None), "attention_probs_dropout_prob", 0.0
+        )
+        if not f_kwargs.get("deterministic", True) and p_drop > 0:
+            return NotImplemented
+        for name in ("query", "key", "value"):
+            if SEP.join(mod.path + (name, "kernel")) not in bparams.rho:
+                return NotImplemented
+        n_heads = mod.config.num_attention_heads
+        H = hidden.shape[-1]
+        if hidden.ndim != 3 or H % n_heads or (H // n_heads) % 8:
+            return NotImplemented
+        q = handle_dense(mod.query, hidden)
+        k = handle_dense(mod.key, hidden)
+        v = handle_dense(mod.value, hidden)
+        if attention_mask is None:
+            bias = jnp.zeros(hidden.shape[:2], jnp.float32)
+        elif attention_mask.ndim != 2:
+            return NotImplemented
+        else:
+            bias = ops_attention.mask_to_bias(attention_mask)
+        return (ops_attention.mha(q, k, v, bias, n_heads),)
+
+    attn_classes = ("FlaxBertSelfAttention", "FlaxRobertaSelfAttention")
+
     def interceptor(next_fun, f_args, f_kwargs, context):
         mod = context.module
         if context.method_name != "__call__":
             return next_fun(*f_args, **f_kwargs)
+        if fuse_attention and type(mod).__name__ in attn_classes:
+            out = handle_self_attention(mod, f_args, f_kwargs)
+            if out is not NotImplemented:
+                return out
         if isinstance(mod, nn.Dense):
             kpath = SEP.join(mod.path + ("kernel",))
             if kpath in bparams.rho:

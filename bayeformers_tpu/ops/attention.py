@@ -1,0 +1,245 @@
+"""Multi-head self-attention op that keeps activations in (N, L, H) layout.
+
+Why this exists (measured, PERF.md): the Pallas ``bayes_linear`` custom
+calls pin their operands/results to the default (N, L, H) layout, while
+XLA's attention implementation wants head-split (N, heads, L, d) layouts —
+so every converted attention projection is bracketed by physical transpose
+copies (~14 ms/step on the BERT-base recipe, vs ~2 ms in the pure-XLA
+frequentist floor where XLA fuses the transposes into neighbouring ops).
+This op consumes q/k/v exactly as ``bayes_linear`` emits them and produces
+the attention output in the same layout the out-projection consumes, so the
+whole attention block runs with zero layout copies; head slicing happens
+on-chip inside the kernel.
+
+Semantics mirror HF FLAX attention (`transformers` FlaxBertSelfAttention:
+scores = (q/sqrt(d)) @ k^T + bias, bias = 0 where mask>0 else finfo.min,
+softmax over keys, @ v) with one deliberate divergence: scores/softmax are
+computed in float32 even for bf16 activations (HF computes them in the
+model dtype). Forward-only dropout paths bail to the XLA implementation at
+the interception layer (nn/fused.py), never here.
+
+The kernel needs no online-softmax tiling: encoder sequences (BERT L<=512)
+fit whole (L, L) score matrices in VMEM, so forward and backward are plain
+per-(example, head) dot/softmax loops over an example-blocked grid.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bayeformers_tpu.ops import config
+from bayeformers_tpu.ops import sampled_linear as split_lib
+
+NEG_BIG = float(jnp.finfo(jnp.float32).min)
+
+
+def _mha_xla(q, k, v, bias, n_heads: int):
+    """Reference/fallback implementation (plain XLA), HF-parity math."""
+    N, L, H = q.shape
+    d = H // n_heads
+    qh = q.reshape(N, L, n_heads, d)
+    kh = k.reshape(N, L, n_heads, d)
+    vh = v.reshape(N, L, n_heads, d)
+    scores = jnp.einsum(
+        "nqhd,nkhd->nhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(d))
+    scores = scores + bias[:, None, None, :].astype(jnp.float32)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "nhqk,nkhd->nqhd", p.astype(q.dtype), vh,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(N, L, H).astype(q.dtype)
+
+
+def _fwd_kernel(n_heads, q_ref, k_ref, v_ref, bias_ref, o_ref):
+    nb, L, H = q_ref.shape
+    d = H // n_heads
+    scale = 1.0 / math.sqrt(d)
+    for b in range(nb):
+        bias_row = bias_ref[b, 0, :]  # (L,)
+        # load each (L, H) block once; per-head slicing happens on values
+        qb = q_ref[b].astype(jnp.float32) * scale
+        kb = k_ref[b].astype(jnp.float32)
+        vb = v_ref[b]
+        outs = []
+        for h in range(n_heads):
+            qh = jax.lax.slice(qb, (0, h * d), (L, (h + 1) * d))
+            kh = jax.lax.slice(kb, (0, h * d), (L, (h + 1) * d))
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s + bias_row[None, :]
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.dot(
+                p.astype(vb.dtype),
+                jax.lax.slice(vb, (0, h * d), (L, (h + 1) * d)),
+                preferred_element_type=jnp.float32,
+                precision=config.kernel_dot_precision(vb.dtype),
+            )
+            outs.append(o)
+        o_ref[b] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _bwd_kernel(n_heads, q_ref, k_ref, v_ref, bias_ref, g_ref,
+                dq_ref, dk_ref, dv_ref):
+    nb, L, H = q_ref.shape
+    d = H // n_heads
+    scale = 1.0 / math.sqrt(d)
+    f32 = jnp.float32
+    for b in range(nb):
+        bias_row = bias_ref[b, 0, :]
+        for h in range(n_heads):
+            cols = slice(h * d, (h + 1) * d)
+            qh = q_ref[b, :, cols].astype(f32) * scale
+            kh = k_ref[b, :, cols].astype(f32)
+            vh = v_ref[b, :, cols].astype(f32)
+            gh = g_ref[b, :, cols].astype(f32)
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            ) + bias_row[None, :]
+            p = jax.nn.softmax(s, axis=-1)
+            # dV = P^T g
+            dv = jax.lax.dot_general(
+                p, gh, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            )
+            # dP = g V^T ; dS = P * (dP - rowsum(dP * P))
+            dp = jax.lax.dot_general(
+                gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            # dQ = (dS K) * scale ; dK = dS^T (Q * scale)
+            dq = jnp.dot(ds, kh, preferred_element_type=f32) * scale
+            dk = jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            )
+            dq_ref[b, :, cols] = dq.astype(dq_ref.dtype)
+            dk_ref[b, :, cols] = dk.astype(dk_ref.dtype)
+            dv_ref[b, :, cols] = dv.astype(dv_ref.dtype)
+
+
+# examples per grid step: VMEM holds 4-5 (L<=512, H=768) f32 operands per
+# example; NB=4 keeps the unrolled (NB x heads) inner loop compile-friendly.
+# TEMPS covers the per-head (L, L) score/softmax/grad chains plus Mosaic
+# stack overhead — calibrated from a measured 16.85M scoped allocation for
+# the nb=2 f32 backward (8 double-buffered arrays = 12.6M + ~4.2M temps).
+NB = 4
+VMEM_LIMIT = 14 * 1024 * 1024
+TEMPS = 4 * 1024 * 1024
+
+
+def _pick_nb(L: int, H: int, itemsize: int, n_arrays: int) -> int:
+    nb = NB
+    while nb > 1:
+        est = n_arrays * nb * L * H * itemsize * 2 + TEMPS
+        if est <= VMEM_LIMIT:
+            return nb
+        nb //= 2
+    return 1
+
+
+def _pad_n(x, n_pad):
+    return jnp.pad(x, ((0, n_pad - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _mha_pallas_fwd(q, k, v, bias, n_heads: int):
+    N, L, H = q.shape
+    nb = _pick_nb(L, H, q.dtype.itemsize, 4)
+    Np = -(-N // nb) * nb
+    qp, kp, vp = _pad_n(q, Np), _pad_n(k, Np), _pad_n(v, Np)
+    # padded examples keep bias 0 -> uniform softmax, finite garbage rows
+    # that are sliced away below. Bias rides as (N, 1, L): a 2D (nb, L)
+    # block would violate Mosaic's (8, 128) sublane/lane divisibility rule.
+    biasp = _pad_n(bias.astype(jnp.float32), Np)[:, None, :]
+    spec = pl.BlockSpec((nb, L, H), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((nb, 1, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_heads),
+        grid=(Np // nb,),
+        in_specs=[spec, spec, spec, bspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Np, L, H), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Np * L * L * H,
+            bytes_accessed=4 * Np * L * H * q.dtype.itemsize,
+            transcendentals=Np * n_heads * L * L,
+        ),
+    )(qp, kp, vp, biasp)
+    return out[:N]
+
+
+def _mha_pallas_bwd(q, k, v, bias, g, n_heads: int):
+    N, L, H = q.shape
+    nb = _pick_nb(L, H, q.dtype.itemsize, 8)
+    Np = -(-N // nb) * nb
+    qp, kp, vp, gp = (_pad_n(a, Np) for a in (q, k, v, g))
+    biasp = _pad_n(bias.astype(jnp.float32), Np)[:, None, :]
+    spec = pl.BlockSpec((nb, L, H), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((nb, 1, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_heads),
+        grid=(Np // nb,),
+        in_specs=[spec, spec, spec, bspec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((Np, L, H), q.dtype) for _ in range(3)
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * Np * L * L * H,
+            bytes_accessed=8 * Np * L * H * q.dtype.itemsize,
+            transcendentals=Np * n_heads * L * L,
+        ),
+    )(qp, kp, vp, biasp, gp)
+    return dq[:N], dk[:N], dv[:N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def mha(q, k, v, bias, n_heads: int):
+    """Self-attention in flat (N, L, H) layout.
+
+    ``bias`` is the additive attention bias per key position, shape (N, L)
+    (0 to attend, a large negative to mask — see :func:`mask_to_bias`).
+    """
+    if split_lib.use_pallas():
+        return _mha_pallas_fwd(q, k, v, bias, n_heads)
+    return _mha_xla(q, k, v, bias, n_heads)
+
+
+def _mha_fwd(q, k, v, bias, n_heads):
+    return mha(q, k, v, bias, n_heads), (q, k, v, bias)
+
+
+import os
+
+
+def _mha_bwd(n_heads, res, g):
+    q, k, v, bias = res
+    if split_lib.use_pallas() and os.environ.get(
+        "BAYEFORMERS_MHA_XLA_BWD", "0"
+    ) != "1":
+        dq, dk, dv = _mha_pallas_bwd(q, k, v, bias, g, n_heads)
+    else:
+        _, vjp = jax.vjp(lambda q, k, v: _mha_xla(q, k, v, bias, n_heads),
+                         q, k, v)
+        dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+mha.defvjp(_mha_fwd, _mha_bwd)
+
+
+def mask_to_bias(attention_mask, dtype=jnp.float32):
+    """(N, L) 1/0 keep-mask -> additive bias (0 / finfo.min), HF semantics
+    (`FlaxBertSelfAttention.__call__`: lax.select on mask > 0)."""
+    m = attention_mask > 0
+    return jnp.where(m, 0.0, float(jnp.finfo(dtype).min)).astype(jnp.float32)

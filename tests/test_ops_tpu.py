@@ -431,3 +431,47 @@ def test_antithetic_bf16_and_fused_apply():
     assert np.isfinite(float(loss))
     gmax = max(float(jnp.abs(v).max()) for v in grads.rho.values())
     assert np.isfinite(gmax) and gmax > 0
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_mha_kernel_parity(dtype):
+    """Pallas mha == XLA reference, fwd + bwd, incl. a non-divisible batch
+    (padding rows must not produce NaNs or leak)."""
+    from bayeformers_tpu.ops import attention as at
+
+    rng = np.random.default_rng(0)
+    N, L, H, heads = 7, 128, 768, 12  # N=7 exercises example padding
+    q = jnp.asarray(rng.normal(size=(N, L, H)), dtype)
+    k = jnp.asarray(rng.normal(size=(N, L, H)), dtype)
+    v = jnp.asarray(rng.normal(size=(N, L, H)), dtype)
+    mask = np.ones((N, L), np.int32)
+    mask[0, 100:] = 0
+    mask[3, 64:] = 0
+    bias = at.mask_to_bias(jnp.asarray(mask))
+
+    out = at.mha(q, k, v, bias, heads)
+    ref = at._mha_xla(q, k, v, bias, heads)
+    assert not np.isnan(np.asarray(out, np.float32)).any()
+    tol = 2e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+    g = jnp.asarray(rng.normal(size=(N, L, H)), dtype)
+
+    def loss(q, k, v):
+        return jnp.sum((at.mha(q, k, v, bias, heads) * g).astype(jnp.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            (at._mha_xla(q, k, v, bias, heads) * g).astype(jnp.float32)
+        )
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=tol * 5, atol=tol * 5, err_msg=name,
+        )
