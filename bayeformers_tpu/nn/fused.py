@@ -257,12 +257,48 @@ def fused_mc_apply(
 
     attn_classes = ("FlaxBertSelfAttention", "FlaxRobertaSelfAttention")
 
+    def handle_distilbert_attention(mod, f_args, f_kwargs):
+        """DistilBERT's FlaxMultiHeadSelfAttention: q/k/v/out projections
+        live inside one module and the mask is applied as
+        ``scores - 1e30 * (1 - mask)`` — reproduced as an additive bias to
+        the same mha op. Self-attention only (the transformer block passes
+        the same hidden array three times)."""
+        if len(f_args) < 4:
+            return NotImplemented
+        query, key_, value, mask = f_args[:4]
+        if key_ is not query or value is not query:
+            return NotImplemented  # cross-attention: not DistilBERT's use
+        if f_kwargs.get("output_attentions", False):
+            return NotImplemented
+        p_drop = getattr(getattr(mod, "config", None), "attention_dropout", 0.0)
+        if not f_kwargs.get("deterministic", True) and p_drop > 0:
+            return NotImplemented
+        for name in ("q_lin", "k_lin", "v_lin", "out_lin"):
+            if SEP.join(mod.path + (name, "kernel")) not in bparams.rho:
+                return NotImplemented
+        n_heads = mod.config.n_heads
+        H = query.shape[-1]
+        if query.ndim != 3 or mask.ndim != 2 or H % n_heads or (
+            H // n_heads
+        ) % 8:
+            return NotImplemented
+        q = handle_dense(mod.q_lin, query)
+        k = handle_dense(mod.k_lin, query)
+        v = handle_dense(mod.v_lin, query)
+        bias = -1e30 * (1.0 - mask.astype(jnp.float32))
+        out = ops_attention.mha(q, k, v, bias, n_heads)
+        return (handle_dense(mod.out_lin, out),)
+
     def interceptor(next_fun, f_args, f_kwargs, context):
         mod = context.module
         if context.method_name != "__call__":
             return next_fun(*f_args, **f_kwargs)
         if fuse_attention and type(mod).__name__ in attn_classes:
             out = handle_self_attention(mod, f_args, f_kwargs)
+            if out is not NotImplemented:
+                return out
+        if fuse_attention and type(mod).__name__ == "FlaxMultiHeadSelfAttention":
+            out = handle_distilbert_attention(mod, f_args, f_kwargs)
             if out is not NotImplemented:
                 return out
         if isinstance(mod, nn.Dense):

@@ -134,14 +134,26 @@ VMEM_LIMIT = 14 * 1024 * 1024
 TEMPS = 4 * 1024 * 1024
 
 
-def _pick_nb(L: int, H: int, itemsize: int, n_arrays: int) -> int:
+def _pick_nb(L: int, H: int, itemsize: int, n_arrays: int) -> int | None:
+    """Largest example block that fits; None if even nb=1 exceeds VMEM
+    (callers then fall back to the XLA implementation — e.g. SQuAD's
+    L=384 at f32, where the backward's 8 arrays alone need ~19M)."""
     nb = NB
-    while nb > 1:
+    while nb >= 1:
         est = n_arrays * nb * L * H * itemsize * 2 + TEMPS
         if est <= VMEM_LIMIT:
             return nb
         nb //= 2
-    return 1
+    return None
+
+
+def pallas_fits(L: int, H: int, itemsize: int) -> bool:
+    """True when BOTH the forward (5 arrays) and backward (8 arrays)
+    kernels fit VMEM at some block size."""
+    return (
+        _pick_nb(L, H, itemsize, 5) is not None
+        and _pick_nb(L, H, itemsize, 8) is not None
+    )
 
 
 def _pad_n(x, n_pad):
@@ -150,7 +162,7 @@ def _pad_n(x, n_pad):
 
 def _mha_pallas_fwd(q, k, v, bias, n_heads: int):
     N, L, H = q.shape
-    nb = _pick_nb(L, H, q.dtype.itemsize, 4)
+    nb = _pick_nb(L, H, q.dtype.itemsize, 5)
     Np = -(-N // nb) * nb
     qp, kp, vp = _pad_n(q, Np), _pad_n(k, Np), _pad_n(v, Np)
     # padded examples keep bias 0 -> uniform softmax, finite garbage rows
@@ -210,7 +222,9 @@ def mha(q, k, v, bias, n_heads: int):
     ``bias`` is the additive attention bias per key position, shape (N, L)
     (0 to attend, a large negative to mask — see :func:`mask_to_bias`).
     """
-    if split_lib.use_pallas():
+    if split_lib.use_pallas() and pallas_fits(
+        q.shape[1], q.shape[2], q.dtype.itemsize
+    ):
         return _mha_pallas_fwd(q, k, v, bias, n_heads)
     return _mha_xla(q, k, v, bias, n_heads)
 
@@ -224,9 +238,11 @@ import os
 
 def _mha_bwd(n_heads, res, g):
     q, k, v, bias = res
-    if split_lib.use_pallas() and os.environ.get(
-        "BAYEFORMERS_MHA_XLA_BWD", "0"
-    ) != "1":
+    if (
+        split_lib.use_pallas()
+        and pallas_fits(q.shape[1], q.shape[2], q.dtype.itemsize)
+        and os.environ.get("BAYEFORMERS_MHA_XLA_BWD", "0") != "1"
+    ):
         dq, dk, dv = _mha_pallas_bwd(q, k, v, bias, g, n_heads)
     else:
         _, vjp = jax.vjp(lambda q, k, v: _mha_xla(q, k, v, bias, n_heads),

@@ -38,7 +38,10 @@ from bayeformers_tpu.utils.optim import masked_optimizer
 
 S, B, L = 10, 8, 128
 NSCAN, N_OUTER = 10, 4
-MICRO_NSCAN, MICRO_OUTER = 50, 4
+# micro ops are ~0.05-0.7 ms: scan enough iterations that the scanned body
+# dwarfs the per-dispatch floor, whose run-to-run drift (27-37 ms measured)
+# otherwise dominates after subtraction and produced nonsense ratios once
+MICRO_NSCAN, MICRO_OUTER = 400, 4
 
 
 _DISPATCH_FLOOR = None

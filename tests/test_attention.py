@@ -170,3 +170,46 @@ def test_fused_attention_bails_on_unsupported_features(tiny_bert):
     out, aux = bmodel.mc_apply_fused(bp, jax.random.key(8), 2,
                                      fuse_attention=False, **batch)
     assert out.shape[0] == 2
+
+
+def test_distilbert_fused_attention_matches_default_path():
+    """DistilBERT's in-module q/k/v/out projections + 1e30 mask bias through
+    the mha op must reproduce the stock interception path on the same key."""
+    bundle = bert_lib.build_distilbert(
+        task="classification", n_labels=2, size="tiny", seed=0
+    )
+    bmodel, bp = bf.to_bayesian(
+        bundle.apply_fn, bundle.params, delta=0.05, freeze=True
+    )
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, bundle.config.vocab_size, (4, 16))
+    mask = np.ones((4, 16), np.int32)
+    mask[0, 10:] = 0  # padding: the 1e30 bias path must respect it
+    inputs = {"input_ids": jnp.asarray(ids, jnp.int32),
+              "attention_mask": jnp.asarray(mask)}
+
+    key = jax.random.key(2)
+    out_on, aux_on = bmodel.mc_apply_fused(bp, key, 3, fuse_attention=True,
+                                           **inputs)
+    out_off, aux_off = bmodel.mc_apply_fused(bp, key, 3, fuse_attention=False,
+                                             **inputs)
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               rtol=2e-4, atol=2e-4)
+    for tag in ("log_prior", "log_variational_posterior"):
+        np.testing.assert_allclose(np.asarray(aux_on[tag]),
+                                   np.asarray(aux_off[tag]), rtol=1e-6)
+
+    # gradients flow
+    labels = jnp.asarray(rng.integers(0, 2, (4,)))
+
+    def loss_fn(bp):
+        out, aux = bmodel.mc_apply_fused(bp, key, 2, fuse_attention=True,
+                                         **inputs)
+        nll = bf.elbo.cross_entropy_sum(bf.elbo.mc_logits_mean(out), labels)
+        return bf.elbo.elbo_loss(
+            nll, aux["log_prior"], aux["log_variational_posterior"], 4
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(bp)
+    assert np.isfinite(float(loss))
+    assert max(float(jnp.abs(v).max()) for v in grads.rho.values()) > 0

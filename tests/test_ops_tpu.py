@@ -475,3 +475,32 @@ def test_mha_kernel_parity(dtype):
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=tol * 5, atol=tol * 5, err_msg=name,
         )
+
+
+def test_mha_squad_shapes_fit_or_fall_back():
+    """SQuAD-sized L=384: bf16 fits the kernel; f32's backward would blow
+    scoped VMEM, so the op must route to the XLA implementation — both
+    paths must agree with the reference and run without compile errors."""
+    from bayeformers_tpu.ops import attention as at
+
+    rng = np.random.default_rng(1)
+    N, L, H, heads = 4, 384, 768, 12
+    assert at.pallas_fits(L, H, 2)       # bf16
+    assert not at.pallas_fits(L, H, 4)   # f32 backward exceeds VMEM
+
+    for dtype, tol in ((jnp.bfloat16, 2e-2), (jnp.float32, 2e-5)):
+        q = jnp.asarray(rng.normal(size=(N, L, H)), dtype)
+        k = jnp.asarray(rng.normal(size=(N, L, H)), dtype)
+        v = jnp.asarray(rng.normal(size=(N, L, H)), dtype)
+        bias = at.mask_to_bias(jnp.ones((N, L), jnp.int32))
+
+        def loss(q, k, v):
+            return jnp.sum(at.mha(q, k, v, bias, heads).astype(jnp.float32))
+
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+        ref = at._mha_xla(q, k, v, bias, heads)
+        np.testing.assert_allclose(
+            np.asarray(at.mha(q, k, v, bias, heads), np.float32),
+            np.asarray(ref, np.float32), rtol=tol, atol=tol,
+        )
+        assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in grads)
