@@ -245,6 +245,162 @@ def build_roberta(
     return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=False)
 
 
+def build_electra(
+    task: str = "classification",
+    n_labels: int = 2,
+    pretrained: Optional[str] = None,
+    size: str = "base",
+    seed: int = 0,
+    dtype=jnp.float32,
+    **config_overrides,
+) -> ModelBundle:
+    """ELECTRA variant (BERT-shaped encoder; its Flax self-attention is a
+    copy of BERT's, so the mha interception applies unchanged). ELECTRA's
+    quirk is a separate ``embedding_size`` projected up to ``hidden_size``;
+    the tiny config exercises that projection."""
+    from transformers import ElectraConfig
+    from transformers import (
+        FlaxElectraForQuestionAnswering,
+        FlaxElectraForSequenceClassification,
+    )
+
+    cls = (
+        FlaxElectraForSequenceClassification
+        if task == "classification"
+        else FlaxElectraForQuestionAnswering
+    )
+    if pretrained is not None:
+        model = cls.from_pretrained(pretrained, num_labels=n_labels, dtype=dtype)
+        config = model.config
+    else:
+        if size == "base":
+            kwargs = dict(
+                vocab_size=30522, embedding_size=768, hidden_size=768,
+                num_hidden_layers=12, num_attention_heads=12,
+                intermediate_size=3072, max_position_embeddings=512,
+            )
+        else:
+            kwargs = dict(
+                vocab_size=1024, embedding_size=64, hidden_size=128,
+                num_hidden_layers=2, num_attention_heads=2,
+                intermediate_size=256, max_position_embeddings=128,
+            )
+        kwargs.update(config_overrides)
+        config = ElectraConfig(num_labels=n_labels, **kwargs)
+        model = cls(config, seed=seed, dtype=dtype)
+    params = model.params
+
+    def apply_fn(
+        p,
+        input_ids,
+        attention_mask=None,
+        token_type_ids=None,
+        position_ids=None,
+        deterministic: bool = True,
+        rngs: Optional[dict] = None,
+    ):
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(
+                jnp.arange(input_ids.shape[-1]), input_ids.shape
+            )
+        out = model.module.apply(
+            {"params": p},
+            input_ids, attention_mask, token_type_ids, position_ids, None,
+            deterministic=deterministic,
+            return_dict=False,
+            rngs=rngs,
+        )
+        if task == "classification":
+            return out[0]
+        return out[0], out[1]
+
+    return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=True)
+
+
+def build_albert(
+    task: str = "classification",
+    n_labels: int = 2,
+    pretrained: Optional[str] = None,
+    size: str = "base",
+    seed: int = 0,
+    dtype=jnp.float32,
+    **config_overrides,
+) -> ModelBundle:
+    """ALBERT variant. Its defining feature is cross-layer parameter sharing:
+    one layer group's modules are invoked once per layer, so the fused
+    interception samples the SAME weights for every repetition within a
+    forward (the tied-module guard in nn/fused.py). Note the divergence vs
+    the torch reference, where ``Linear.forward`` re-samples on every call
+    and a tied module would draw fresh weights per repetition — per-call
+    seeds here are keyed by parameter path, which is the semantics the KL
+    accounting (one term per parameter) is consistent with."""
+    from transformers import AlbertConfig
+    from transformers import (
+        FlaxAlbertForQuestionAnswering,
+        FlaxAlbertForSequenceClassification,
+    )
+
+    cls = (
+        FlaxAlbertForSequenceClassification
+        if task == "classification"
+        else FlaxAlbertForQuestionAnswering
+    )
+    if pretrained is not None:
+        model = cls.from_pretrained(pretrained, num_labels=n_labels, dtype=dtype)
+        config = model.config
+    else:
+        if size == "base":
+            kwargs = dict(
+                vocab_size=30000, embedding_size=128, hidden_size=768,
+                num_hidden_layers=12, num_attention_heads=12,
+                intermediate_size=3072, max_position_embeddings=512,
+            )
+        else:
+            kwargs = dict(
+                vocab_size=1024, embedding_size=32, hidden_size=128,
+                num_hidden_layers=2, num_attention_heads=2,
+                intermediate_size=256, max_position_embeddings=128,
+            )
+        kwargs.update(config_overrides)
+        config = AlbertConfig(num_labels=n_labels, **kwargs)
+        model = cls(config, seed=seed, dtype=dtype)
+    params = model.params
+
+    def apply_fn(
+        p,
+        input_ids,
+        attention_mask=None,
+        token_type_ids=None,
+        position_ids=None,
+        deterministic: bool = True,
+        rngs: Optional[dict] = None,
+    ):
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(
+                jnp.arange(input_ids.shape[-1]), input_ids.shape
+            )
+        out = model.module.apply(
+            {"params": p},
+            input_ids, attention_mask, token_type_ids, position_ids,
+            deterministic=deterministic,
+            return_dict=False,
+            rngs=rngs,
+        )
+        if task == "classification":
+            return out[0]
+        return out[0], out[1]
+
+    return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=True)
+
+
 def build_model(model_name: str, **kwargs) -> ModelBundle:
     """Family dispatch by model name (mirrors the reference's AutoModel use
     with its per-family input handling)."""
@@ -253,6 +409,10 @@ def build_model(model_name: str, **kwargs) -> ModelBundle:
         return build_distilbert(**kwargs)
     if "roberta" in name or "camembert" in name:
         return build_roberta(**kwargs)
+    if "electra" in name:
+        return build_electra(**kwargs)
+    if "albert" in name:
+        return build_albert(**kwargs)
     return build_bert(**kwargs)
 
 

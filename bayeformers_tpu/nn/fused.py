@@ -255,7 +255,11 @@ def fused_mc_apply(
             bias = ops_attention.mask_to_bias(attention_mask)
         return (ops_attention.mha(q, k, v, bias, n_heads),)
 
-    attn_classes = ("FlaxBertSelfAttention", "FlaxRobertaSelfAttention")
+    attn_classes = (
+        "FlaxBertSelfAttention",
+        "FlaxRobertaSelfAttention",
+        "FlaxElectraSelfAttention",  # HF 'Copied from' clone of BERT's
+    )
 
     def handle_distilbert_attention(mod, f_args, f_kwargs):
         """DistilBERT's FlaxMultiHeadSelfAttention: q/k/v/out projections

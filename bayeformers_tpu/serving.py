@@ -59,6 +59,7 @@ class Predictor:
     seq_lens: tuple[int, ...] = (128,)
     pad_id: int = 0
     antithetic: bool = False
+    task: str = "classification"  # or "qa" (span heads)
     input_keys: tuple[str, ...] = (
         "input_ids", "attention_mask", "token_type_ids"
     )
@@ -66,13 +67,10 @@ class Predictor:
     def __post_init__(self):
         if self.antithetic and self.n_samples % 2:
             raise ValueError("antithetic serving needs an even n_samples")
+        if self.task not in ("classification", "qa"):
+            raise ValueError(f"unknown task {self.task!r}")
 
-        @functools.partial(jax.jit, static_argnums=())
-        def _run(bparams, key, inputs):
-            logits, _ = self.bmodel.mc_apply_fused(
-                bparams, key, self.n_samples, save_weights=False,
-                antithetic=self.antithetic, **inputs,
-            )
+        def summarize(logits):
             probs_s = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             probs = jnp.mean(probs_s, axis=0)
             entropy = -jnp.sum(
@@ -84,6 +82,22 @@ class Predictor:
                 "entropy": entropy,
                 "pred": jnp.argmax(probs, axis=-1),
             }
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _run(bparams, key, inputs):
+            out, _ = self.bmodel.mc_apply_fused(
+                bparams, key, self.n_samples, save_weights=False,
+                antithetic=self.antithetic, **inputs,
+            )
+            if self.task == "qa":
+                # span heads: per-position distributions over the sequence
+                start, end = out
+                return {
+                    f"{tag}_{k}": v
+                    for tag, logits in (("start", start), ("end", end))
+                    for k, v in summarize(logits).items()
+                }
+            return summarize(out)
 
         self._run = _run
 

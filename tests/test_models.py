@@ -86,3 +86,57 @@ def test_roberta_qa_head_shapes():
     )
     assert start_logits.shape == (2, 12)
     assert end_logits.shape == (2, 12)
+
+
+def test_electra_and_albert_families_convert_and_train():
+    """ELECTRA (embedding projection, BERT-clone attention -> mha fused) and
+    ALBERT (cross-layer parameter sharing -> tied-module KL dedup) both
+    convert and take an ELBO gradient step."""
+    for name in ("electra-base", "albert-base"):
+        bundle = bert_lib.build_model(name, size="tiny", seed=0)
+        assert bundle.uses_token_type_ids
+        bmodel, bparams = bf.to_bayesian(
+            bundle.apply_fn, bundle.params, delta=0.05, freeze=True
+        )
+        batch = bert_lib.synthetic_batch(
+            np.random.default_rng(0), 4, 12, bundle.config.vocab_size, 2
+        )
+        labels = batch.pop("labels")
+
+        def loss_fn(bparams):
+            out, aux = bmodel.mc_apply_fused(
+                bparams, jax.random.key(0), 2, **batch
+            )
+            nll = bf.elbo.cross_entropy_sum(bf.elbo.mc_logits_mean(out), labels)
+            return bf.elbo.elbo_loss(
+                nll, aux["log_prior"], aux["log_variational_posterior"], 10
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(bparams)
+        assert np.isfinite(float(loss)), name
+        gmax = max(float(jnp.abs(v).max()) for v in grads.rho.values())
+        assert np.isfinite(gmax) and gmax > 0, name
+
+        # ALBERT: the shared layer stack must contribute each parameter's KL
+        # exactly once despite repeated invocations (tied-module guard)
+        if "albert" in name:
+            n_paths = len(bmodel.spec.paths)
+            _, aux = bmodel.mc_apply_fused(bparams, jax.random.key(1), 2, **batch)
+            assert np.isfinite(np.asarray(aux["log_variational_posterior"])).all()
+            assert n_paths == len(set(bmodel.spec.paths))
+
+
+def test_electra_fused_attention_matches_default_path():
+    bundle = bert_lib.build_model("electra-base", size="tiny", seed=0)
+    bmodel, bp = bf.to_bayesian(
+        bundle.apply_fn, bundle.params, delta=0.05, freeze=True
+    )
+    batch = bert_lib.synthetic_batch(
+        np.random.default_rng(1), 4, 12, bundle.config.vocab_size, 2
+    )
+    batch.pop("labels")
+    key = jax.random.key(3)
+    out_on, _ = bmodel.mc_apply_fused(bp, key, 2, fuse_attention=True, **batch)
+    out_off, _ = bmodel.mc_apply_fused(bp, key, 2, fuse_attention=False, **batch)
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               rtol=2e-4, atol=2e-4)

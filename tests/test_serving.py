@@ -89,3 +89,28 @@ def test_predictor_antithetic_needs_even_samples(predictor):
     with pytest.raises(ValueError):
         Predictor(predictor.bmodel, predictor.bparams, n_samples=3,
                   antithetic=True)
+
+
+def test_predictor_qa_task():
+    """QA serving: per-position start/end posterior summaries."""
+    from bayeformers_tpu.models import bert as bert_lib
+
+    bundle = bert_lib.build_bert(task="qa", size="tiny", seed=0)
+    bmodel, bp = bf.to_bayesian(
+        bundle.apply_fn, bundle.params, delta=0.05, freeze=True
+    )
+    pred = Predictor(bmodel, bp, n_samples=3, batch_sizes=(2,), seq_lens=(16,),
+                     task="qa")
+    batch = bert_lib.synthetic_batch(
+        np.random.default_rng(0), 2, 16, bundle.config.vocab_size, task="qa"
+    )
+    out = pred({k: np.asarray(v) for k, v in batch.items()
+                if k in pred.input_keys}, seed=4)
+    assert out["start_probs"].shape == (2, 16)
+    assert out["end_probs"].shape == (2, 16)
+    np.testing.assert_allclose(out["start_probs"].sum(-1), 1.0, rtol=1e-5)
+    assert out["start_pred"].shape == (2,)
+    assert (out["end_entropy"] >= 0).all()
+
+    with pytest.raises(ValueError):
+        Predictor(bmodel, bp, task="translation")
