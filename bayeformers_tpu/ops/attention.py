@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -231,9 +232,6 @@ def mha(q, k, v, bias, n_heads: int):
 
 def _mha_fwd(q, k, v, bias, n_heads):
     return mha(q, k, v, bias, n_heads), (q, k, v, bias)
-
-
-import os
 
 
 def _mha_bwd(n_heads, res, g):

@@ -391,3 +391,36 @@ def test_antithetic_is_unbiased_estimator(setup):
     # antithetic pairs cancel the linear eps term exactly: each pair mean
     # is x @ mu up to float error, far tighter than independent sampling
     assert np.abs(anti - exact).max() < 1e-4
+
+
+def test_antithetic_reduces_gradient_variance(setup):
+    """The antithetic estimator's advertised property: across repeated
+    draws, gradient variance is at most the independent estimator's (it
+    cancels the odd terms of the eps expansion exactly)."""
+    net, apply_fn, _, _, x = setup
+    params = net.init(jax.random.key(0), x)["params"]
+    bmodel, bp = bf.to_bayesian(apply_fn, params, delta=0.2, freeze=True)
+    y = jnp.asarray(np.random.default_rng(0).integers(0, 5, (x.shape[0],)))
+
+    def grad_probe(antithetic, key):
+        def loss_fn(bp):
+            out, aux = bmodel.mc_apply_fused(bp, key, 4,
+                                             antithetic=antithetic, x=x)
+            nll = bf.elbo.cross_entropy_sum(bf.elbo.mc_logits_mean(out), y)
+            return bf.elbo.elbo_loss(
+                nll, aux["log_prior"], aux["log_variational_posterior"], 4
+            )
+        g = jax.grad(loss_fn)(bp)
+        # scalar probe: sum of all rho-gradient entries
+        return float(sum(jnp.sum(v) for v in g.rho.values()))
+
+    draws = 40
+    ind = np.array([grad_probe(False, jax.random.key(100 + i))
+                    for i in range(draws)])
+    anti = np.array([grad_probe(True, jax.random.key(100 + i))
+                     for i in range(draws)])
+    # unbiasedness: both estimate the same expectation
+    sem = (ind.std() + anti.std()) / np.sqrt(draws)
+    assert abs(ind.mean() - anti.mean()) < 5 * sem + 1e-6
+    # variance reduction (allow slack for finite draws)
+    assert anti.var() <= ind.var() * 1.1, (anti.var(), ind.var())

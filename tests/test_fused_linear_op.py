@@ -139,3 +139,26 @@ def test_large_k_fallback_consistency(problem):
         )
     )(mu, rho)
     assert np.isfinite(np.asarray(grads)).all()
+
+
+def test_kernel_routing_covers_bert_large_shapes():
+    """Route selection for BERT-large (H=1024, FFN 4096): every layer shape
+    must land on a Pallas route (full-K or K-tall), not the split fallback,
+    for both dtypes at the training batch."""
+    import jax.numpy as jnp
+    from bayeformers_tpu.ops import fused_linear as fl
+    from bayeformers_tpu.ops import common
+
+    M = 10 * 1024 // 10  # per-sample rows at S-major batch 8 x seq 128
+    for K, N in ((1024, 1024), (1024, 4096), (4096, 1024)):
+        for itemsize, w_item in ((4, 4), (2, 2)):
+            kp, np_ = fl._pad_kn(K, N)
+            assert kp <= fl.MAX_FULLK
+            fullk = fl._pick_bn_bm(kp, np_, M, 2, x_bytes=itemsize,
+                                   w_bytes=w_item)
+            ktall = fl._ktall_bk(kp, np_, M, itemsize, w_item)
+            assert fullk is not None or ktall is not None, (K, N, itemsize)
+    # eps units divide the padded K for all these shapes (determinism
+    # contract holds across kernels)
+    for K in (1024, 4096):
+        assert common.round_up(K, common.UNIT_K) % common.UNIT_K == 0
