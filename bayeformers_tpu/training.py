@@ -90,12 +90,76 @@ def make_elbo_train_step(
     fused: bool = True,
     input_keys: tuple[str, ...] = ("input_ids", "attention_mask", "token_type_ids"),
     estimator: Optional[str] = None,
+    mc_chunk: Optional[int] = None,
 ):
     """Returns jitted ``step(bparams, opt_state, key, batch) ->
     (bparams, opt_state, metrics)``. ``batch`` maps input_keys to model
-    inputs plus whatever ``loss_fn`` needs (labels / positions)."""
+    inputs plus whatever ``loss_fn`` needs (labels / positions).
+
+    ``mc_chunk`` (memory lever): run the S MC samples in chunks of this
+    size with gradient accumulation across chunks. Activation and
+    weight-residual memory scale with the chunk instead of S — the
+    reference SQuAD recipe (S=10, batch 13, seq 384) exceeds one chip's
+    HBM S-major but fits chunked. Semantics: each chunk is the reference
+    recipe at S=mc_chunk; losses/gradients/metrics are averaged over
+    chunks (fresh draws per chunk), so the estimator stays unbiased for
+    the same objective family. ``mc_chunk >= n_samples`` (or None) is
+    exactly the single-pass path.
+    """
 
     mc = pick_mc(bmodel, fused, estimator)
+
+    if mc_chunk is not None and mc_chunk < n_samples:
+        if n_samples % mc_chunk:
+            raise ValueError(
+                f"mc_chunk={mc_chunk} must divide n_samples={n_samples}"
+            )
+        n_chunks = n_samples // mc_chunk
+
+        @jax.jit
+        def step(bparams: BayesParams, opt_state, key, batch):
+            inputs = {k: batch[k] for k in input_keys if k in batch}
+
+            def objective(bparams, kc):
+                out, aux = mc(bparams, kc, mc_chunk, **inputs)
+                nll, metrics = loss_fn(out, batch)
+                loss = elbo.elbo_loss(
+                    nll, aux["log_prior"], aux["log_variational_posterior"],
+                    n_batches,
+                )
+                metrics = dict(
+                    metrics,
+                    nll=nll,
+                    log_prior=jnp.mean(aux["log_prior"]),
+                    log_variational_posterior=jnp.mean(
+                        aux["log_variational_posterior"]
+                    ),
+                )
+                metrics["loss"] = loss
+                return loss, metrics
+
+            keys = jax.random.split(key, n_chunks)
+            grad_fn = jax.value_and_grad(objective, has_aux=True)
+            (_, m_acc), g_acc = grad_fn(bparams, keys[0])
+
+            def body(carry, kc):
+                g_acc, m_acc = carry
+                (_, m), g = grad_fn(bparams, kc)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                m_acc = {k2: m_acc[k2] + m[k2] for k2 in m_acc}
+                return (g_acc, m_acc), None
+
+            if n_chunks > 1:
+                (g_acc, m_acc), _ = jax.lax.scan(
+                    body, (g_acc, m_acc), keys[1:]
+                )
+            grads = jax.tree.map(lambda a: a / n_chunks, g_acc)
+            metrics = {k2: v / n_chunks for k2, v in m_acc.items()}
+            updates, opt_state = tx.update(grads, opt_state, bparams)
+            bparams = optax.apply_updates(bparams, updates)
+            return bparams, opt_state, metrics
+
+        return step
 
     @jax.jit
     def step(bparams: BayesParams, opt_state, key, batch):

@@ -143,6 +143,7 @@ def train(
     dp: int = 1,
     tp: int = 1,
     estimator: str | None = None,
+    mc_chunk: int | None = None,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
     writer = MetricsWriter(logs, name)
@@ -363,7 +364,7 @@ def train(
     else:
         b_step = training.make_elbo_train_step(
             bmodel, btx, samples, n_batches, loss_fn=loss_fn, fused=fused,
-            input_keys=input_keys, estimator=estimator,
+            input_keys=input_keys, estimator=estimator, mc_chunk=mc_chunk,
         )
 
     if profile_dir:
@@ -433,6 +434,10 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--no-fused", action="store_true")
+    parser.add_argument("--mc-chunk", type=int, default=None,
+                        help="run the S MC samples in chunks of this size "
+                             "with gradient accumulation (memory lever for "
+                             "large batch/seq configs)")
     parser.add_argument("--estimator", default=None,
                         choices=["fused", "naive", "flipout", "antithetic"],
                         help="MC gradient estimator for the Bayesian phase "
@@ -463,7 +468,7 @@ def main():
         limit_batches=args.limit_batches, fused=not args.no_fused,
         save_dir=args.save_dir, resume=args.resume,
         profile_dir=args.profile_dir, dp=args.dp, tp=args.tp,
-        estimator=args.estimator,
+        estimator=args.estimator, mc_chunk=args.mc_chunk,
     )
     t0 = time.time()
     if args.hypersearch:

@@ -180,6 +180,7 @@ def train(
     dp: int = 1,
     tp: int = 1,
     estimator: str | None = None,
+    mc_chunk: int | None = None,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
     estimator = estimator or ("fused" if fused else "naive")
@@ -347,6 +348,9 @@ def train(
     )
     btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
     b_opt_state = btx.init(bparams)
+    if mc_chunk and mesh is not None:
+        raise ValueError("--mc-chunk is single-device; combine with --dp "
+                         "after sharding the batch down instead")
     if mesh is not None and fused:
         b_step = parallel_lib.make_dp_train_step(
             bmodel, btx, samples, n_batches, mesh,
@@ -357,6 +361,7 @@ def train(
         b_step = training.make_elbo_train_step(
             bmodel, btx, samples, n_batches, loss_fn=training.qa_span_loss,
             fused=fused, input_keys=input_keys, estimator=estimator,
+            mc_chunk=mc_chunk,
         )
 
     with dumper.section("bayesian_train"):
@@ -419,6 +424,12 @@ def main():
     parser.add_argument("--estimator", default=None,
                         choices=["fused", "naive", "flipout", "antithetic"],
                         help="MC gradient estimator for the Bayesian phase")
+    parser.add_argument("--mc-chunk", type=int, default=None,
+                        help="run the S MC samples in chunks of this size "
+                             "with gradient accumulation (memory lever: the "
+                             "full reference recipe S=10/batch 13/seq 384 "
+                             "needs --mc-chunk 2 to fit one v5e chip's HBM; "
+                             "chunk 5 still exceeds it by ~170M)")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations (variational numerics stay f32)")
     parser.add_argument("--save-dir", default=None)
@@ -439,7 +450,7 @@ def main():
         lr=args.lr, size=args.size, bf16=args.bf16,
         pretrained=args.pretrained, seed=args.seed,
         limit_batches=args.limit_batches, fused=not args.no_fused,
-        estimator=args.estimator,
+        estimator=args.estimator, mc_chunk=args.mc_chunk,
         save_dir=args.save_dir, resume=args.resume, dp=args.dp, tp=args.tp,
     )
     t0 = time.time()

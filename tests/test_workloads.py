@@ -130,3 +130,17 @@ def test_bert_glue_antithetic_estimator_tiny(tmp_path):
         estimator="antithetic",
     )
     assert 0.0 <= acc <= 1.0
+
+
+@pytest.mark.slow
+def test_bert_glue_mc_chunked_step_tiny(tmp_path):
+    """--mc-chunk gradient accumulation: the chunked step must train and
+    return the same metric keys as the single-pass step."""
+    from bayeformers_tpu.workloads import bert_glue
+
+    acc = bert_glue.train(
+        exp="t-chunk", model_name="bert", delta=0.05, weight_decay=0.0,
+        logs=str(tmp_path / "logs"), epochs=1, b_epochs=1, samples=4,
+        batch_size=4, size="tiny", limit_batches=3, seed=0, mc_chunk=2,
+    )
+    assert 0.0 <= acc <= 1.0
