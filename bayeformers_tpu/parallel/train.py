@@ -39,20 +39,35 @@ def make_dp_train_step(
     input_keys: tuple[str, ...] = ("input_ids", "attention_mask", "token_type_ids"),
     axis: str = "dp",
     estimator: str | None = None,
+    mc_chunk: int | None = None,
 ):
     """Jitted ``step(bparams, opt_state, key, batch)`` where every array in
     ``batch`` is sharded on its leading axis over ``axis`` and everything
-    else is replicated. The global batch size must divide the dp size."""
+    else is replicated. The global batch size must divide the dp size.
+
+    ``mc_chunk`` composes with dp exactly as in
+    ``training.make_elbo_train_step``: each shard runs the S MC samples in
+    chunks with local gradient accumulation, and the single psum happens on
+    the chunk-averaged gradients."""
     from bayeformers_tpu.training import pick_mc
 
     n_dev = mesh.shape[axis]
     mc = pick_mc(bmodel, fused, estimator)
+    if mc_chunk is not None and mc_chunk < n_samples:
+        if n_samples % mc_chunk:
+            raise ValueError(
+                f"mc_chunk={mc_chunk} must divide n_samples={n_samples}"
+            )
+        n_chunks = n_samples // mc_chunk
+        chunk_size = mc_chunk
+    else:
+        n_chunks, chunk_size = 1, n_samples
 
     def local_step(bparams, opt_state, key, batch):
         inputs = {k: batch[k] for k in input_keys if k in batch}
 
-        def objective(bparams):
-            out, aux = mc(bparams, key, n_samples, **inputs)
+        def objective(bparams, kc):
+            out, aux = mc(bparams, kc, chunk_size, **inputs)
             nll, metrics = loss_fn(out, batch)
             # KL is identical on every device (same key, same weights):
             # scale by 1/D so the psum reconstitutes it exactly once.
@@ -65,9 +80,28 @@ def make_dp_train_step(
             )
             return loss, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(objective, has_aux=True)(
-            bparams
-        )
+        grad_fn = jax.value_and_grad(objective, has_aux=True)
+        if n_chunks == 1:
+            (loss, metrics), grads = grad_fn(bparams, key)
+        else:
+            keys = jax.random.split(key, n_chunks)
+            (loss, metrics), grads = grad_fn(bparams, keys[0])
+
+            def body(carry, kc):
+                g_acc, l_acc, m_acc = carry
+                (l, m), g = grad_fn(bparams, kc)
+                return (
+                    jax.tree.map(jax.numpy.add, g_acc, g),
+                    l_acc + l,
+                    {k2: m_acc[k2] + m[k2] for k2 in m_acc},
+                ), None
+
+            (grads, loss, metrics), _ = jax.lax.scan(
+                body, (grads, loss, metrics), keys[1:]
+            )
+            grads = jax.tree.map(lambda a: a / n_chunks, grads)
+            loss = loss / n_chunks
+            metrics = {k2: v / n_chunks for k2, v in metrics.items()}
         grads = jax.lax.psum(grads, axis)
         loss = jax.lax.psum(loss, axis)
         metrics = jax.tree.map(lambda v: jax.lax.pmean(v, axis), metrics)

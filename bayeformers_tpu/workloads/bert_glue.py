@@ -360,6 +360,7 @@ def train(
         b_step = parallel_lib.make_dp_train_step(
             bmodel, btx, samples, n_batches, mesh, loss_fn=loss_fn,
             fused=fused, input_keys=input_keys, estimator=estimator,
+            mc_chunk=mc_chunk,
         )
     else:
         b_step = training.make_elbo_train_step(

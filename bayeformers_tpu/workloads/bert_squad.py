@@ -348,14 +348,11 @@ def train(
     )
     btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
     b_opt_state = btx.init(bparams)
-    if mc_chunk and mesh is not None:
-        raise ValueError("--mc-chunk is single-device; combine with --dp "
-                         "after sharding the batch down instead")
     if mesh is not None and fused:
         b_step = parallel_lib.make_dp_train_step(
             bmodel, btx, samples, n_batches, mesh,
             loss_fn=training.qa_span_loss, fused=True, input_keys=input_keys,
-            estimator=estimator,
+            estimator=estimator, mc_chunk=mc_chunk,
         )
     else:
         b_step = training.make_elbo_train_step(

@@ -178,3 +178,37 @@ def test_shard_map_dp_antithetic_matches_single_device(tiny_bert):
         np.asarray(bp1.rho[path]), np.asarray(bp2.rho[path]),
         rtol=1e-4, atol=1e-7,
     )
+
+
+def test_shard_map_dp_mc_chunked_matches_single_device(tiny_bert):
+    """dp + mc_chunk composition: chunked-accumulated grads per shard with
+    one psum must reproduce the single-device chunked step."""
+    import optax
+    from bayeformers_tpu import training
+    from bayeformers_tpu.parallel import train as ptrain
+    from bayeformers_tpu.utils.optim import masked_optimizer
+
+    _, bmodel, bp = tiny_bert
+    batch = bert_lib.synthetic_batch(np.random.default_rng(6), 16, 12, 1024, 2)
+    tx = masked_optimizer(optax.sgd(1e-3), bmodel.trainable_mask(bp))
+
+    single = training.make_elbo_train_step(bmodel, tx, 4, 10, mc_chunk=2)
+    bp1, _, m1 = single(bp, tx.init(bp), jax.random.key(11), batch)
+
+    mesh_dp = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    step = ptrain.make_dp_train_step(bmodel, tx, 4, 10, mesh_dp, mc_chunk=2)
+    bp_rep = ptrain.replicate(bp, mesh_dp)
+    batch_sh = jax.tree.map(
+        lambda a: jax.device_put(
+            a, jax.sharding.NamedSharding(mesh_dp, jax.sharding.PartitionSpec("dp"))
+        ),
+        batch,
+    )
+    bp2, _, m2 = step(bp_rep, tx.init(bp_rep), jax.random.key(11), batch_sh)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-5)
+    path = "bert/encoder/layer/0/attention/self/query/kernel"
+    np.testing.assert_allclose(
+        np.asarray(bp1.rho[path]), np.asarray(bp2.rho[path]),
+        rtol=1e-4, atol=1e-7,
+    )
