@@ -244,15 +244,18 @@ def fused_mc_apply(
         H = hidden.shape[-1]
         if hidden.ndim != 3 or H % n_heads or (H // n_heads) % 8:
             return NotImplemented
-        q = handle_dense(mod.query, hidden)
-        k = handle_dense(mod.key, hidden)
-        v = handle_dense(mod.value, hidden)
+        # All fallback decisions happen BEFORE any handle_dense call: a
+        # NotImplemented return after interception would leave abandoned
+        # (lq, lp) entries in `collected` for XLA DCE to clean up.
         if attention_mask is None:
             bias = jnp.zeros(hidden.shape[:2], jnp.float32)
         elif attention_mask.ndim != 2:
             return NotImplemented
         else:
             bias = ops_attention.mask_to_bias(attention_mask)
+        q = handle_dense(mod.query, hidden)
+        k = handle_dense(mod.key, hidden)
+        v = handle_dense(mod.value, hidden)
         return (ops_attention.mha(q, k, v, bias, n_heads),)
 
     attn_classes = (

@@ -138,11 +138,19 @@ TEMPS = 4 * 1024 * 1024
 def _pick_nb(L: int, H: int, itemsize: int, n_arrays: int) -> int | None:
     """Largest example block that fits; None if even nb=1 exceeds VMEM
     (callers then fall back to the XLA implementation — e.g. SQuAD's
-    L=384 at f32, where the backward's 8 arrays alone need ~19M)."""
+    L=384 at f32, where the backward's 8 arrays alone need ~19M).
+
+    Honors the same BAYEFORMERS_VMEM_LIMIT_MB derating knob as the linear
+    kernels' VMEM models (ops/fused_linear.py), so one env var governs every
+    Pallas fit decision."""
+    limit = (
+        int(os.environ.get("BAYEFORMERS_VMEM_LIMIT_MB", "0")) * (1 << 20)
+        or VMEM_LIMIT
+    )
     nb = NB
     while nb >= 1:
         est = n_arrays * nb * L * H * itemsize * 2 + TEMPS
-        if est <= VMEM_LIMIT:
+        if est <= limit:
             return nb
         nb //= 2
     return None

@@ -60,6 +60,8 @@ class Predictor:
     pad_id: int = 0
     antithetic: bool = False
     task: str = "classification"  # or "qa" (span heads)
+    max_answer_len: int = 30  # qa: span-length cap (HF default the reference
+    n_best: int = 5           # inherits via compute_predictions_logits)
     input_keys: tuple[str, ...] = (
         "input_ids", "attention_mask", "token_type_ids"
     )
@@ -90,8 +92,14 @@ class Predictor:
                 antithetic=self.antithetic, **inputs,
             )
             if self.task == "qa":
-                # span heads: per-position distributions over the sequence
+                # span heads: per-position distributions over the sequence.
+                # Padded positions (attention_mask==0 — incl. bucket padding)
+                # get finfo.min so no probability mass leaks to them.
                 start, end = out
+                neg = jnp.finfo(jnp.float32).min
+                live = inputs["attention_mask"][None] > 0  # (1, B, L)
+                start = jnp.where(live, start.astype(jnp.float32), neg)
+                end = jnp.where(live, end.astype(jnp.float32), neg)
                 return {
                     f"{tag}_{k}": v
                     for tag, logits in (("start", start), ("end", end))
@@ -116,11 +124,32 @@ class Predictor:
                 n += 1
         return n
 
-    def __call__(self, batch: dict, seed: int = 0) -> dict:
-        """Run one request batch; returns depadded numpy arrays."""
+    def __call__(
+        self,
+        batch: dict,
+        seed: int = 0,
+        features: list | None = None,
+        contexts: list | None = None,
+    ) -> dict:
+        """Run one request batch; returns depadded numpy arrays.
+
+        For ``task="qa"`` the result additionally carries ``spans``: per
+        request, the ``n_best`` answer spans as ``{"start", "end", "score",
+        "text"}`` dicts ranked by descending ``log p(start) + log p(end)``
+        under the MC-averaged posterior predictive — the serving counterpart
+        of the reference's ``compute_predictions_logits`` n-best decode
+        (`examples/bert_squad.py:357-368`). ``features``/``contexts`` are
+        optional parallel lists (one per request row) of
+        ``utils.squad.featurize`` features and their context strings; when
+        given, each span also carries its decoded answer ``text``.
+        """
         inputs = {k: np.asarray(batch[k]) for k in self.input_keys
                   if k in batch}
         n, L = inputs["input_ids"].shape
+        if "attention_mask" not in inputs:
+            # bucket padding must be masked even when the caller omits the
+            # mask, else results depend on which bucket the request lands in
+            inputs["attention_mask"] = np.ones((n, L), np.int32)
         nb = _bucket(n, self.batch_sizes, "batch_size")
         lb = _bucket(L, self.seq_lens, "seq_len")
         padded = {}
@@ -131,4 +160,40 @@ class Predictor:
             padded[k] = jnp.asarray(out)
         key = jax.random.fold_in(jax.random.key(seed), nb * 100003 + lb)
         out = self._run(self.bparams, key, padded)
-        return {k: np.asarray(v)[:n] for k, v in out.items()}
+        # depad rows always; per-position arrays (qa) also depad positions
+        result = {
+            k: (np.asarray(v)[:n, :L] if np.asarray(v).ndim >= 2
+                else np.asarray(v)[:n])
+            for k, v in out.items()
+        }
+        if self.task == "qa":
+            result["spans"] = self._decode_spans(result, n, features, contexts)
+        return result
+
+    def _decode_spans(self, result, n, features, contexts):
+        from bayeformers_tpu.utils import squad as squad_lib
+
+        log_start = np.log(np.clip(result["start_probs"], 1e-12, None))
+        log_end = np.log(np.clip(result["end_probs"], 1e-12, None))
+        spans = []
+        for i in range(n):
+            feat = features[i] if features else None
+            offset = feat["context_offset"] if feat else 0
+            best = squad_lib.n_best_spans(
+                log_start[i], log_end[i], offset,
+                max_answer_len=self.max_answer_len, n_best=self.n_best,
+            )
+            spans.append([
+                {
+                    "start": s,
+                    "end": e,
+                    "score": score,
+                    "text": (
+                        squad_lib.decode_span(feat, contexts[i], s, e)
+                        if feat is not None and contexts is not None
+                        else None
+                    ),
+                }
+                for s, e, score in best
+            ])
+        return spans

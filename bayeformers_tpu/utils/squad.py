@@ -233,6 +233,45 @@ def best_span(start_logits, end_logits, context_offset: int, max_answer_len: int
     return best, float(best_score)
 
 
+def n_best_spans(
+    start_logits,
+    end_logits,
+    context_offset: int,
+    max_answer_len: int = 30,
+    n_best: int = 5,
+):
+    """Top-``n_best`` (start <= end) spans within the context region.
+
+    Vectorized analog of :func:`best_span` for serving: builds the full
+    (L, L) pair-score matrix ``start[s] + end[e]`` masked to valid spans
+    (``context_offset <= s <= e < s + max_answer_len``) and returns
+    ``[(start, end, score), ...]`` sorted by descending score. Mirrors the
+    n-best machinery of HF's ``compute_predictions_logits`` the reference
+    calls at `examples/bert_squad.py:357-368`.
+    """
+    import numpy as np
+
+    start_logits = np.asarray(start_logits, np.float32)
+    end_logits = np.asarray(end_logits, np.float32)
+    n = len(start_logits)
+    scores = start_logits[:, None] + end_logits[None, :]
+    s_idx = np.arange(n)[:, None]
+    e_idx = np.arange(n)[None, :]
+    valid = (
+        (s_idx >= context_offset)
+        & (e_idx >= s_idx)
+        & (e_idx < s_idx + max_answer_len)
+    )
+    scores = np.where(valid, scores, -np.inf)
+    flat = scores.ravel()
+    k = min(n_best, int(valid.sum()))
+    if k == 0:
+        return [(context_offset, context_offset, float("-inf"))]
+    top = np.argpartition(flat, -k)[-k:]
+    top = top[np.argsort(flat[top])[::-1]]
+    return [(int(i // n), int(i % n), float(flat[i])) for i in top]
+
+
 def decode_span(feature: dict, context: str, s: int, e: int) -> str:
     """Answer text for token span [s, e] (absolute positions incl. the
     question prefix) using the feature's stored char offsets."""

@@ -114,3 +114,93 @@ def test_predictor_qa_task():
 
     with pytest.raises(ValueError):
         Predictor(bmodel, bp, task="translation")
+
+
+@pytest.fixture(scope="module")
+def qa_predictor():
+    from bayeformers_tpu.models import bert as bert_lib
+
+    bundle = bert_lib.build_bert(task="qa", size="tiny", seed=0)
+    bmodel, bp = bf.to_bayesian(
+        bundle.apply_fn, bundle.params, delta=0.05, freeze=True
+    )
+    pred = Predictor(bmodel, bp, n_samples=3, batch_sizes=(2,),
+                     seq_lens=(16,), task="qa", n_best=3, max_answer_len=4)
+    return bundle, pred
+
+
+def test_predictor_qa_pad_masking(qa_predictor):
+    """Bucket padding must get zero span probability, and per-position
+    outputs are sliced to the request's true seq length (ADVICE r2)."""
+    bundle, pred = qa_predictor
+    rng = np.random.default_rng(3)
+    L = 12  # pads up to the 16 bucket
+    batch = {
+        "input_ids": rng.integers(1, bundle.config.vocab_size, (2, L)).astype(np.int32),
+        "attention_mask": np.ones((2, L), np.int32),
+        "token_type_ids": np.zeros((2, L), np.int32),
+    }
+    batch["attention_mask"][1, 9:] = 0  # in-request padding too
+    out = pred(batch, seed=2)
+    assert out["start_probs"].shape == (2, L)  # positions depadded
+    assert out["end_probs"].shape == (2, L)
+    # masked positions carry no probability mass
+    assert out["start_probs"][1, 9:].max() < 1e-6
+    assert out["end_probs"][1, 9:].max() < 1e-6
+    np.testing.assert_allclose(out["start_probs"].sum(-1), 1.0, rtol=1e-5)
+    # pred can never point at a masked position
+    assert (out["start_pred"][1] < 9) and (out["end_pred"][1] < 9)
+
+
+def test_predictor_qa_mask_synthesis(qa_predictor):
+    """Omitting attention_mask synthesizes ones over the true region, so
+    results do not depend on bucket padding (ADVICE r2)."""
+    bundle, pred = qa_predictor
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, bundle.config.vocab_size, (2, 12)).astype(np.int32)
+    ttids = np.zeros((2, 12), np.int32)
+    with_mask = pred({"input_ids": ids, "attention_mask": np.ones((2, 12), np.int32),
+                      "token_type_ids": ttids}, seed=6)
+    without = pred({"input_ids": ids, "token_type_ids": ttids}, seed=6)
+    np.testing.assert_array_equal(with_mask["start_probs"], without["start_probs"])
+
+
+def test_predictor_qa_spans(qa_predictor):
+    """task='qa' returns ranked n-best answer spans with decoded text."""
+    bundle, pred = qa_predictor
+    rng = np.random.default_rng(5)
+    L = 16
+    batch = {
+        "input_ids": rng.integers(1, bundle.config.vocab_size, (2, L)).astype(np.int32),
+        "attention_mask": np.ones((2, L), np.int32),
+        "token_type_ids": np.zeros((2, L), np.int32),
+    }
+    # fake featurize()-style features: context starts at token 4, one
+    # char-offset pair per context token
+    context = "the quick brown fox jumps over the lazy dog xx yy"
+    words = context.split()
+    offs, pos = [], 0
+    for w in words[: L - 4]:
+        offs.append((pos, pos + len(w)))
+        pos += len(w) + 1
+    features = [
+        {"context_offset": 4, "offsets": offs} for _ in range(2)
+    ]
+    out = pred(batch, seed=7, features=features, contexts=[context, context])
+    spans = out["spans"]
+    assert len(spans) == 2 and len(spans[0]) == 3  # n_best=3
+    for row in spans:
+        scores = [sp["score"] for sp in row]
+        assert scores == sorted(scores, reverse=True)
+        for sp in row:
+            assert 4 <= sp["start"] <= sp["end"] < L
+            assert sp["end"] - sp["start"] < pred.max_answer_len
+            assert isinstance(sp["text"], str)
+    # score really is log p(start) + log p(end) of the MC-mean predictive
+    s0 = spans[0][0]
+    expect = (np.log(out["start_probs"][0, s0["start"]])
+              + np.log(out["end_probs"][0, s0["end"]]))
+    np.testing.assert_allclose(s0["score"], expect, rtol=1e-5)
+    # without features, spans still come back (offset 0, no text)
+    out2 = pred(batch, seed=7)
+    assert out2["spans"][0][0]["text"] is None

@@ -156,6 +156,23 @@ def test_best_span():
     assert e >= s
 
 
+def test_n_best_spans_matches_best_span():
+    rng = np.random.default_rng(0)
+    start = rng.normal(size=30)
+    end = rng.normal(size=30)
+    (s, e), score = squad_lib.best_span(start, end, context_offset=5,
+                                        max_answer_len=7)
+    top = squad_lib.n_best_spans(start, end, context_offset=5,
+                                 max_answer_len=7, n_best=4)
+    assert (top[0][0], top[0][1]) == (s, e)
+    np.testing.assert_allclose(top[0][2], score, rtol=1e-6)
+    assert len(top) == 4
+    scores = [t[2] for t in top]
+    assert scores == sorted(scores, reverse=True)
+    for s_i, e_i, _ in top:
+        assert 5 <= s_i <= e_i < s_i + 7
+
+
 # ---------------- checkpoint ------------------------------------------------
 
 def test_checkpoint_roundtrip(tmp_path):
