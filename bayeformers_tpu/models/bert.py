@@ -1,4 +1,4 @@
-"""HF FLAX transformer adapters (BERT / DistilBERT, classification / QA).
+"""HF FLAX transformer adapters (5 encoder families, classification / QA).
 
 The reference fine-tunes ``AutoModelForSequenceClassification`` on GLUE
 (`examples/bert_glue.py:48-53`) and ``AutoModelForQuestionAnswering`` on
@@ -8,6 +8,12 @@ This adapter builds the FLAX equivalents; with no network egress (or
 which is exactly what the perf benchmarks need. It also reproduces the
 reference's model-family input pruning: distilbert-style models take no
 ``token_type_ids`` (`examples/bert_squad.py:184-185`).
+
+One table-driven builder covers all families (the round-2 file was five
+near-identical ~70-line functions); the :data:`_FAMILIES` registry holds the
+per-family HF classes, base/tiny configs, and input-signature style, and
+``_make_apply`` folds the per-style quirks (RoBERTa's pad-aware position
+ids, DistilBERT's two-argument signature, ALBERT's missing head-mask slot).
 
 The returned ``apply_fn(params, **batch)`` closes over ``module.apply`` so
 both the vmapped tier-A path and the interception-based fused Pallas path
@@ -41,185 +47,104 @@ class ModelBundle:
     uses_token_type_ids: bool
 
 
-def build_bert(
-    task: str = "classification",
-    n_labels: int = 2,
-    pretrained: Optional[str] = None,
-    size: str = "base",
-    seed: int = 0,
-    dtype=jnp.float32,
-    **config_overrides,
-) -> ModelBundle:
-    """Build a Flax BERT for ``task`` in {'classification', 'qa'}.
+@dataclasses.dataclass(frozen=True)
+class _Family:
+    """Registry row: HF class names, config class, size presets, and the
+    ``module.apply`` signature style."""
 
-    ``pretrained`` may be a local path or hub name (requires network/cache);
-    otherwise a random-init model from a BERT-base (or 'tiny' test-size)
-    config is returned.
-    """
-    from transformers import BertConfig
-    from transformers import (
-        FlaxBertForQuestionAnswering,
-        FlaxBertForSequenceClassification,
-    )
+    config_cls: str
+    seq_cls: str
+    qa_cls: str
+    base: dict
+    tiny: dict
+    # 'bert': (ids, mask, tok, pos, head_mask=None); 'albert': same minus the
+    # head-mask slot; 'distilbert': (ids, mask); 'roberta': bert-style with
+    # pad-aware position ids and a single token type.
+    style: str
+    uses_token_type_ids: bool
 
-    cls = (
-        FlaxBertForSequenceClassification
-        if task == "classification"
-        else FlaxBertForQuestionAnswering
-    )
-    if pretrained is not None:
-        model = cls.from_pretrained(pretrained, num_labels=n_labels, dtype=dtype)
-        config = model.config
-    else:
-        kwargs = dict(BERT_BASE_KWARGS if size == "base" else BERT_TINY_KWARGS)
-        kwargs.update(config_overrides)
-        config = BertConfig(num_labels=n_labels, **kwargs)
-        model = cls(config, seed=seed, dtype=dtype)
-    params = model.params
+
+_FAMILIES: dict[str, _Family] = {
+    "bert": _Family(
+        "BertConfig", "FlaxBertForSequenceClassification",
+        "FlaxBertForQuestionAnswering",
+        base=BERT_BASE_KWARGS, tiny=BERT_TINY_KWARGS,
+        style="bert", uses_token_type_ids=True,
+    ),
+    "distilbert": _Family(
+        "DistilBertConfig", "FlaxDistilBertForSequenceClassification",
+        "FlaxDistilBertForQuestionAnswering",
+        base=dict(vocab_size=30522, dim=768, n_layers=6, n_heads=12,
+                  hidden_dim=3072, max_position_embeddings=512),
+        tiny=dict(vocab_size=1024, dim=128, n_layers=2, n_heads=2,
+                  hidden_dim=256, max_position_embeddings=128),
+        style="distilbert", uses_token_type_ids=False,
+    ),
+    "roberta": _Family(
+        "RobertaConfig", "FlaxRobertaForSequenceClassification",
+        "FlaxRobertaForQuestionAnswering",
+        base=dict(vocab_size=50265, hidden_size=768, num_hidden_layers=12,
+                  num_attention_heads=12, intermediate_size=3072,
+                  max_position_embeddings=514, type_vocab_size=1,
+                  pad_token_id=1),
+        tiny=dict(vocab_size=1024, hidden_size=128, num_hidden_layers=2,
+                  num_attention_heads=2, intermediate_size=256,
+                  max_position_embeddings=136, type_vocab_size=1,
+                  pad_token_id=1),
+        style="roberta", uses_token_type_ids=False,
+    ),
+    "electra": _Family(
+        "ElectraConfig", "FlaxElectraForSequenceClassification",
+        "FlaxElectraForQuestionAnswering",
+        base=dict(vocab_size=30522, embedding_size=768, hidden_size=768,
+                  num_hidden_layers=12, num_attention_heads=12,
+                  intermediate_size=3072, max_position_embeddings=512),
+        tiny=dict(vocab_size=1024, embedding_size=64, hidden_size=128,
+                  num_hidden_layers=2, num_attention_heads=2,
+                  intermediate_size=256, max_position_embeddings=128),
+        style="bert", uses_token_type_ids=True,
+    ),
+    "albert": _Family(
+        "AlbertConfig", "FlaxAlbertForSequenceClassification",
+        "FlaxAlbertForQuestionAnswering",
+        base=dict(vocab_size=30000, embedding_size=128, hidden_size=768,
+                  num_hidden_layers=12, num_attention_heads=12,
+                  intermediate_size=3072, max_position_embeddings=512),
+        tiny=dict(vocab_size=1024, embedding_size=32, hidden_size=128,
+                  num_hidden_layers=2, num_attention_heads=2,
+                  intermediate_size=256, max_position_embeddings=128),
+        style="albert", uses_token_type_ids=True,
+    ),
+}
+
+
+def _make_apply(model, task: str, style: str, config):
+    """apply_fn closing over ``module.apply`` with the family's signature."""
+    pad_id = getattr(config, "pad_token_id", 0)
+
+    def head(out):
+        if task == "classification":
+            return out[0]
+        return out[0], out[1]  # start_logits, end_logits
+
+    if style == "distilbert":
+        def apply_fn(
+            p, input_ids, attention_mask=None, deterministic: bool = True,
+            rngs: Optional[dict] = None, **_ignored,
+        ):
+            if attention_mask is None:
+                attention_mask = jnp.ones_like(input_ids)
+            return head(model.module.apply(
+                {"params": p}, input_ids, attention_mask,
+                deterministic=deterministic, return_dict=False, rngs=rngs,
+            ))
+        return apply_fn
 
     def apply_fn(
         p,
         input_ids,
         attention_mask=None,
         token_type_ids=None,
-        position_ids=None,
-        deterministic: bool = True,
-        rngs: Optional[dict] = None,
-    ):
-        if attention_mask is None:
-            attention_mask = jnp.ones_like(input_ids)
-        if token_type_ids is None:
-            token_type_ids = jnp.zeros_like(input_ids)
-        if position_ids is None:
-            position_ids = jnp.broadcast_to(
-                jnp.arange(input_ids.shape[-1]), input_ids.shape
-            )
-        out = model.module.apply(
-            {"params": p},
-            input_ids, attention_mask, token_type_ids, position_ids, None,
-            deterministic=deterministic,
-            return_dict=False,
-            rngs=rngs,
-        )
-        if task == "classification":
-            return out[0]
-        return out[0], out[1]  # start_logits, end_logits
-
-    return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=True)
-
-
-def build_distilbert(
-    task: str = "classification",
-    n_labels: int = 2,
-    pretrained: Optional[str] = None,
-    size: str = "base",
-    seed: int = 0,
-    dtype=jnp.float32,
-    **config_overrides,
-) -> ModelBundle:
-    """DistilBERT variant (the reference GLUE example supports
-    distilbert-base-uncased, `examples/bert_glue.py:318`). DistilBERT takes
-    no token_type_ids — ``uses_token_type_ids=False`` drives the input
-    pruning the reference applies per model family
-    (`examples/bert_squad.py:184-185`)."""
-    from transformers import (
-        DistilBertConfig,
-        FlaxDistilBertForQuestionAnswering,
-        FlaxDistilBertForSequenceClassification,
-    )
-
-    cls = (
-        FlaxDistilBertForSequenceClassification
-        if task == "classification"
-        else FlaxDistilBertForQuestionAnswering
-    )
-    if pretrained is not None:
-        model = cls.from_pretrained(pretrained, num_labels=n_labels, dtype=dtype)
-        config = model.config
-    else:
-        if size == "base":
-            kwargs = dict(vocab_size=30522, dim=768, n_layers=6, n_heads=12,
-                          hidden_dim=3072, max_position_embeddings=512)
-        else:
-            kwargs = dict(vocab_size=1024, dim=128, n_layers=2, n_heads=2,
-                          hidden_dim=256, max_position_embeddings=128)
-        kwargs.update(config_overrides)
-        config = DistilBertConfig(num_labels=n_labels, **kwargs)
-        model = cls(config, seed=seed, dtype=dtype)
-    params = model.params
-
-    def apply_fn(
-        p, input_ids, attention_mask=None, deterministic: bool = True,
-        rngs: Optional[dict] = None, **_ignored,
-    ):
-        if attention_mask is None:
-            attention_mask = jnp.ones_like(input_ids)
-        out = model.module.apply(
-            {"params": p}, input_ids, attention_mask,
-            deterministic=deterministic, return_dict=False, rngs=rngs,
-        )
-        if task == "classification":
-            return out[0]
-        return out[0], out[1]
-
-    return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=False)
-
-
-def build_roberta(
-    task: str = "classification",
-    n_labels: int = 2,
-    pretrained: Optional[str] = None,
-    size: str = "base",
-    seed: int = 0,
-    dtype=jnp.float32,
-    **config_overrides,
-) -> ModelBundle:
-    """RoBERTa variant (the reference's per-family input pruning names
-    xlm/roberta/camembert alongside distilbert, `examples/bert_squad.py:
-    184-185` — families its AutoModel path accepts). RoBERTa's quirks vs
-    BERT: a single token-type (``type_vocab_size=1``, so token_type_ids are
-    pruned like distilbert's) and position ids that start at
-    ``pad_token_id + 1`` and skip padding positions — computed here exactly
-    as HF's ``create_position_ids_from_input_ids`` does, since calling
-    ``module.apply`` directly bypasses the HF wrapper that normally adds
-    them."""
-    from transformers import RobertaConfig
-    from transformers import (
-        FlaxRobertaForQuestionAnswering,
-        FlaxRobertaForSequenceClassification,
-    )
-
-    cls = (
-        FlaxRobertaForSequenceClassification
-        if task == "classification"
-        else FlaxRobertaForQuestionAnswering
-    )
-    if pretrained is not None:
-        model = cls.from_pretrained(pretrained, num_labels=n_labels, dtype=dtype)
-        config = model.config
-    else:
-        if size == "base":
-            kwargs = dict(
-                vocab_size=50265, hidden_size=768, num_hidden_layers=12,
-                num_attention_heads=12, intermediate_size=3072,
-                max_position_embeddings=514, type_vocab_size=1, pad_token_id=1,
-            )
-        else:
-            kwargs = dict(
-                vocab_size=1024, hidden_size=128, num_hidden_layers=2,
-                num_attention_heads=2, intermediate_size=256,
-                max_position_embeddings=136, type_vocab_size=1, pad_token_id=1,
-            )
-        kwargs.update(config_overrides)
-        config = RobertaConfig(num_labels=n_labels, **kwargs)
-        model = cls(config, seed=seed, dtype=dtype)
-    params = model.params
-    pad_id = config.pad_token_id
-
-    def apply_fn(
-        p,
-        input_ids,
-        attention_mask=None,
         position_ids=None,
         deterministic: bool = True,
         rngs: Optional[dict] = None,
@@ -227,25 +152,33 @@ def build_roberta(
     ):
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
         if position_ids is None:
-            not_pad = (input_ids != pad_id).astype(jnp.int32)
-            position_ids = jnp.cumsum(not_pad, axis=-1) * not_pad + pad_id
-        token_type_ids = jnp.zeros_like(input_ids)
-        out = model.module.apply(
-            {"params": p},
-            input_ids, attention_mask, token_type_ids, position_ids, None,
-            deterministic=deterministic,
-            return_dict=False,
-            rngs=rngs,
-        )
-        if task == "classification":
-            return out[0]
-        return out[0], out[1]
+            if style == "roberta":
+                # position ids start at pad_token_id + 1 and skip padding —
+                # HF's create_position_ids_from_input_ids, reproduced here
+                # because calling module.apply directly bypasses the HF
+                # wrapper that normally adds them
+                not_pad = (input_ids != pad_id).astype(jnp.int32)
+                position_ids = jnp.cumsum(not_pad, axis=-1) * not_pad + pad_id
+            else:
+                position_ids = jnp.broadcast_to(
+                    jnp.arange(input_ids.shape[-1]), input_ids.shape
+                )
+        args = (input_ids, attention_mask, token_type_ids, position_ids)
+        if style != "albert":
+            args = args + (None,)  # head_mask slot (bert/roberta/electra)
+        return head(model.module.apply(
+            {"params": p}, *args,
+            deterministic=deterministic, return_dict=False, rngs=rngs,
+        ))
 
-    return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=False)
+    return apply_fn
 
 
-def build_electra(
+def _build_family(
+    family: str,
     task: str = "classification",
     n_labels: int = 2,
     pretrained: Optional[str] = None,
@@ -254,82 +187,64 @@ def build_electra(
     dtype=jnp.float32,
     **config_overrides,
 ) -> ModelBundle:
-    """ELECTRA variant (BERT-shaped encoder; its Flax self-attention is a
-    copy of BERT's, so the mha interception applies unchanged). ELECTRA's
-    quirk is a separate ``embedding_size`` projected up to ``hidden_size``;
-    the tiny config exercises that projection."""
-    from transformers import ElectraConfig
-    from transformers import (
-        FlaxElectraForQuestionAnswering,
-        FlaxElectraForSequenceClassification,
-    )
+    import transformers
 
-    cls = (
-        FlaxElectraForSequenceClassification
-        if task == "classification"
-        else FlaxElectraForQuestionAnswering
-    )
+    fam = _FAMILIES[family]
+    cls = getattr(transformers, fam.seq_cls if task == "classification"
+                  else fam.qa_cls)
     if pretrained is not None:
         model = cls.from_pretrained(pretrained, num_labels=n_labels, dtype=dtype)
         config = model.config
     else:
-        if size == "base":
-            kwargs = dict(
-                vocab_size=30522, embedding_size=768, hidden_size=768,
-                num_hidden_layers=12, num_attention_heads=12,
-                intermediate_size=3072, max_position_embeddings=512,
-            )
-        else:
-            kwargs = dict(
-                vocab_size=1024, embedding_size=64, hidden_size=128,
-                num_hidden_layers=2, num_attention_heads=2,
-                intermediate_size=256, max_position_embeddings=128,
-            )
+        kwargs = dict(fam.base if size == "base" else fam.tiny)
         kwargs.update(config_overrides)
-        config = ElectraConfig(num_labels=n_labels, **kwargs)
-        model = cls(config, seed=seed, dtype=dtype)
-    params = model.params
-
-    def apply_fn(
-        p,
-        input_ids,
-        attention_mask=None,
-        token_type_ids=None,
-        position_ids=None,
-        deterministic: bool = True,
-        rngs: Optional[dict] = None,
-    ):
-        if attention_mask is None:
-            attention_mask = jnp.ones_like(input_ids)
-        if token_type_ids is None:
-            token_type_ids = jnp.zeros_like(input_ids)
-        if position_ids is None:
-            position_ids = jnp.broadcast_to(
-                jnp.arange(input_ids.shape[-1]), input_ids.shape
-            )
-        out = model.module.apply(
-            {"params": p},
-            input_ids, attention_mask, token_type_ids, position_ids, None,
-            deterministic=deterministic,
-            return_dict=False,
-            rngs=rngs,
+        config = getattr(transformers, fam.config_cls)(
+            num_labels=n_labels, **kwargs
         )
-        if task == "classification":
-            return out[0]
-        return out[0], out[1]
+        model = cls(config, seed=seed, dtype=dtype)
+    return ModelBundle(
+        model, _make_apply(model, task, fam.style, config), model.params,
+        config, uses_token_type_ids=fam.uses_token_type_ids,
+    )
 
-    return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=True)
+
+def build_bert(task: str = "classification", **kwargs) -> ModelBundle:
+    """Flax BERT for ``task`` in {'classification', 'qa'}.
+
+    ``pretrained`` may be a local path or hub name (requires network/cache);
+    otherwise a random-init model from a BERT-base (or 'tiny' test-size)
+    config is returned. Extra kwargs override config fields.
+    """
+    return _build_family("bert", task, **kwargs)
 
 
-def build_albert(
-    task: str = "classification",
-    n_labels: int = 2,
-    pretrained: Optional[str] = None,
-    size: str = "base",
-    seed: int = 0,
-    dtype=jnp.float32,
-    **config_overrides,
-) -> ModelBundle:
+def build_distilbert(task: str = "classification", **kwargs) -> ModelBundle:
+    """DistilBERT variant (the reference GLUE example supports
+    distilbert-base-uncased, `examples/bert_glue.py:318`). DistilBERT takes
+    no token_type_ids — ``uses_token_type_ids=False`` drives the input
+    pruning the reference applies per model family
+    (`examples/bert_squad.py:184-185`)."""
+    return _build_family("distilbert", task, **kwargs)
+
+
+def build_roberta(task: str = "classification", **kwargs) -> ModelBundle:
+    """RoBERTa variant (the reference's per-family input pruning names
+    xlm/roberta/camembert alongside distilbert, `examples/bert_squad.py:
+    184-185` — families its AutoModel path accepts). RoBERTa's quirks vs
+    BERT: a single token-type (``type_vocab_size=1``, so token_type_ids are
+    pruned like distilbert's) and pad-aware position ids (see _make_apply)."""
+    return _build_family("roberta", task, **kwargs)
+
+
+def build_electra(task: str = "classification", **kwargs) -> ModelBundle:
+    """ELECTRA variant (BERT-shaped encoder; its Flax self-attention is a
+    copy of BERT's, so the mha interception applies unchanged). ELECTRA's
+    quirk is a separate ``embedding_size`` projected up to ``hidden_size``;
+    the tiny config exercises that projection."""
+    return _build_family("electra", task, **kwargs)
+
+
+def build_albert(task: str = "classification", **kwargs) -> ModelBundle:
     """ALBERT variant. Its defining feature is cross-layer parameter sharing:
     one layer group's modules are invoked once per layer, so the fused
     interception samples the SAME weights for every repetition within a
@@ -337,68 +252,10 @@ def build_albert(
     the torch reference, where ``Linear.forward`` re-samples on every call
     and a tied module would draw fresh weights per repetition — per-call
     seeds here are keyed by parameter path, which is the semantics the KL
-    accounting (one term per parameter) is consistent with."""
-    from transformers import AlbertConfig
-    from transformers import (
-        FlaxAlbertForQuestionAnswering,
-        FlaxAlbertForSequenceClassification,
-    )
-
-    cls = (
-        FlaxAlbertForSequenceClassification
-        if task == "classification"
-        else FlaxAlbertForQuestionAnswering
-    )
-    if pretrained is not None:
-        model = cls.from_pretrained(pretrained, num_labels=n_labels, dtype=dtype)
-        config = model.config
-    else:
-        if size == "base":
-            kwargs = dict(
-                vocab_size=30000, embedding_size=128, hidden_size=768,
-                num_hidden_layers=12, num_attention_heads=12,
-                intermediate_size=3072, max_position_embeddings=512,
-            )
-        else:
-            kwargs = dict(
-                vocab_size=1024, embedding_size=32, hidden_size=128,
-                num_hidden_layers=2, num_attention_heads=2,
-                intermediate_size=256, max_position_embeddings=128,
-            )
-        kwargs.update(config_overrides)
-        config = AlbertConfig(num_labels=n_labels, **kwargs)
-        model = cls(config, seed=seed, dtype=dtype)
-    params = model.params
-
-    def apply_fn(
-        p,
-        input_ids,
-        attention_mask=None,
-        token_type_ids=None,
-        position_ids=None,
-        deterministic: bool = True,
-        rngs: Optional[dict] = None,
-    ):
-        if attention_mask is None:
-            attention_mask = jnp.ones_like(input_ids)
-        if token_type_ids is None:
-            token_type_ids = jnp.zeros_like(input_ids)
-        if position_ids is None:
-            position_ids = jnp.broadcast_to(
-                jnp.arange(input_ids.shape[-1]), input_ids.shape
-            )
-        out = model.module.apply(
-            {"params": p},
-            input_ids, attention_mask, token_type_ids, position_ids,
-            deterministic=deterministic,
-            return_dict=False,
-            rngs=rngs,
-        )
-        if task == "classification":
-            return out[0]
-        return out[0], out[1]
-
-    return ModelBundle(model, apply_fn, params, config, uses_token_type_ids=True)
+    accounting (one term per parameter) is consistent with. ALBERT's
+    attention (q/k/v + output proj + LayerNorm in one module) has its own
+    interception handler in nn/fused.py."""
+    return _build_family("albert", task, **kwargs)
 
 
 def build_model(model_name: str, **kwargs) -> ModelBundle:

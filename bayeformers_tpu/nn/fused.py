@@ -57,6 +57,27 @@ def untile_samples(tree: Any, n_samples: int) -> Any:
     return jax.tree.map(untile, tree)
 
 
+def _unit_bias_eps(bkey: jax.Array, n_draws: int, n: int, n0) -> jax.Array:
+    """(n_draws, n) standard normals in absolute 128-wide units.
+
+    Mirrors the 2-D unit streams (ops/common.py, sampled_linear.naive_eps):
+    eps for bias element j is a pure function of (bkey, (n0 + j) // 128,
+    j % 128), so a column-sharded bias whose global offset ``n0`` (a
+    multiple of 128) is passed draws exactly its slice of the unsharded
+    bias noise — same invariant as the kernels, at bias (1-D) scale.
+    """
+    nu = -(-n // 128)
+    ids = jnp.arange(nu, dtype=jnp.int32) + (
+        jnp.int32(0) if n0 is None else jnp.asarray(n0, jnp.int32) // 128
+    )
+
+    def unit(u):
+        return jax.random.normal(jax.random.fold_in(bkey, u), (n_draws, 128))
+
+    units = jax.vmap(unit, out_axes=1)(ids)  # (n_draws, nu, 128)
+    return units.reshape(n_draws, nu * 128)[:, :n]
+
+
 def _bias_logprobs(b, bmu, bsig, beps, prior_mu, mixture):
     """(S,) log_q and log_p for a sampled bias (small; plain jnp)."""
     lq = jnp.sum(
@@ -86,6 +107,7 @@ def fused_mc_apply(
     save_weights: bool = True,
     antithetic: bool = False,
     fuse_attention: bool | None = None,
+    tp=None,
     **kwargs,
 ):
     """S-sample fused forward. Returns ``(outputs, aux)`` like
@@ -96,11 +118,43 @@ def fused_mc_apply(
     draw with opposite signs (w = mu ± sigma*eps) — classic antithetic
     variates; unbiased, lower-variance, and the paired Pallas kernel
     generates half the Gaussian noise. Requires even ``n_samples``.
+
+    ``tp`` (a ``parallel.collectives.TPContext``): Megatron tensor
+    parallelism for the fused tier, to be used INSIDE a ``shard_map`` whose
+    arrays were sharded per the same rules (parallel/mesh.py). Per leaf kind:
+
+    - ``col``: mu/rho hold the local out-feature shard; the input activation
+      gets the Megatron "f" (identity fwd / psum bwd) and the local matmul
+      produces the sharded output. Sharded bias follows.
+    - ``row``: mu/rho hold the local in-feature shard; the local partial
+      output gets the "g" (psum fwd / identity bwd), then the replicated
+      bias is added once.
+    - ``rep``: exactly the single-device path.
+
+    KL bookkeeping: sharded leaves contribute local partial sums which are
+    psummed over the tp axis once at the end; replicated leaves contribute
+    their (device-invariant) full sums directly. When a shard's global
+    element offset lands on the backend's eps-unit grid the shard draws the
+    exact slice of the unsharded noise stream (bit-parity with the
+    single-device step); otherwise the layer's sample keys are decorrelated
+    per shard (still valid iid draws — required so the two halves of one
+    logical weight never share noise).
     """
     import os
 
     if fuse_attention is None:
         fuse_attention = os.environ.get("BAYEFORMERS_FUSE_ATTENTION", "1") != "0"
+    if tp is not None and tp.size <= 1:
+        tp = None
+    if tp is not None and not fuse_attention:
+        raise ValueError(
+            "tensor parallelism in the fused tier requires the fused "
+            "attention interception (fuse_attention=True): the stock "
+            "attention module would reshape a tp-sharded width with the "
+            "full head count"
+        )
+    if tp is not None:
+        from bayeformers_tpu.parallel import collectives as coll
     S = n_samples
     if antithetic and S % 2:
         raise ValueError(f"antithetic needs an even n_samples; got {S}")
@@ -108,16 +162,51 @@ def fused_mc_apply(
     paths = spec.paths
     path_index = {p: i for i, p in enumerate(paths)}
     mixture = (spec.prior.pi, spec.prior.sigma1, spec.prior.sigma2)
-    collected: list[tuple[jax.Array, jax.Array]] = []
+    # (log_q, log_p, is_tp_sharded) per converted leaf
+    collected: list[tuple[jax.Array, jax.Array, bool]] = []
     # Weight-sharing guard: a module invoked multiple times per forward
     # (tied layers) samples the same weights each call (same seeds) but must
     # contribute its KL terms exactly once, as the reference's per-module
     # aggregation does (`bayeformers/nn/model.py:70-89`).
     seen: set[str] = set()
 
-    def layer_seeds(i: int) -> jax.Array:
-        keys = jax.random.split(jax.random.fold_in(key, i), n_draws)
+    def layer_seeds(i: int, decorrelate: bool = False) -> jax.Array:
+        lkey = jax.random.fold_in(key, i)
+        if decorrelate:
+            lkey = jax.random.fold_in(lkey, jax.lax.axis_index(tp.axis))
+        keys = jax.random.split(lkey, n_draws)
         return ops_common.seed_from_key(keys)
+
+    def _tp_kernel_plan(kpath: str, local_shape) -> tuple[str, Any, bool]:
+        """(kind, unit_offsets, decorrelate) for a converted kernel leaf.
+
+        Offsets are usable only when every shard boundary lands on the
+        backend's eps-unit grid (local dim divisible by the unit size);
+        otherwise per-shard key decorrelation keeps the two halves of one
+        logical weight from sharing noise.
+        """
+        if tp is None:
+            return "rep", None, False
+        kind = tp.kind_fn(kpath)
+        if kind == "rep":
+            return kind, None, False
+        k_l, n_l = local_shape
+        if ops_linear.use_pallas():
+            uk, un = ops_common.UNIT_K, ops_common.UNIT_N
+        else:
+            uk = un = ops_linear.NAIVE_UNIT
+        idx = jax.lax.axis_index(tp.axis)
+        if kind == "col":
+            if n_l % un == 0:
+                return kind, jnp.stack(
+                    [jnp.int32(0), (idx * n_l).astype(jnp.int32)]
+                ), False
+        else:  # row
+            if k_l % uk == 0:
+                return kind, jnp.stack(
+                    [(idx * k_l).astype(jnp.int32), jnp.int32(0)]
+                ), False
+        return kind, None, True
 
     def interleave(a_half: jax.Array) -> jax.Array:
         """(S/2, ...) draws -> (S, ...) antithetic ± pairs along axis 0."""
@@ -128,32 +217,59 @@ def fused_mc_apply(
         kpath = SEP.join(mod.path + ("kernel",))
         mu = mod.variables["params"]["kernel"]
         rho = bparams.rho[kpath]
-        seeds = layer_seeds(path_index[kpath])
+        kind, offsets, decor = _tp_kernel_plan(kpath, mu.shape)
+        seeds = layer_seeds(path_index[kpath], decorrelate=decor)
         lead, K = x.shape[:-1], x.shape[-1]
         xs = x.reshape(S, -1, K)
+        if kind == "col":
+            # Megatron f: replicated activation consumed by sharded branches
+            xs = coll.copy_to_shards(xs, tp.axis)
         if spec.moped and spec.frozen:
             # mu is frozen at the pretrained weights == the prior center, so
             # the kernel can skip streaming a separate prior_mu array
             y, lq, lp = ops_fused.bayes_linear(
                 xs, mu, rho, seeds, prior_on_mu=True,
                 save_weights=save_weights, antithetic=antithetic,
+                unit_offsets=offsets,
             )
         elif spec.moped:
             y, lq, lp = ops_fused.bayes_linear(
                 xs, mu, rho, seeds, prior_mu=bparams.prior_mu[kpath],
                 save_weights=save_weights, antithetic=antithetic,
+                unit_offsets=offsets,
             )
         else:
             y, lq, lp = ops_fused.bayes_linear(
                 xs, mu, rho, seeds, mixture=mixture,
                 save_weights=save_weights, antithetic=antithetic,
+                unit_offsets=offsets,
             )
+        if kind == "row":
+            # Megatron g: all-reduce the partial (full-width) outputs
+            y = coll.reduce_from_shards(y, tp.axis)
+        new_leaf = kpath not in seen
+        if new_leaf:
+            seen.add(kpath)
+            collected.append((lq, lp, kind != "rep"))
         if mod.use_bias:
             bpath = SEP.join(mod.path + ("bias",))
             bmu = mod.variables["params"]["bias"]
             brho = bparams.rho[bpath]
+            bkind = "col" if kind == "col" else "rep"
             bkey = jax.random.fold_in(key, path_index[bpath])
-            beps = jax.random.normal(bkey, (n_draws,) + bmu.shape, bmu.dtype)
+            if bkind == "col":
+                if bmu.shape[0] % 128 == 0:
+                    b0 = jax.lax.axis_index(tp.axis) * bmu.shape[0]
+                else:
+                    bkey = jax.random.fold_in(
+                        bkey, jax.lax.axis_index(tp.axis)
+                    )
+                    b0 = None
+            else:
+                b0 = None
+            beps = _unit_bias_eps(bkey, n_draws, bmu.shape[0], b0).astype(
+                bmu.dtype
+            )
             if antithetic:
                 beps = interleave(beps)
             bsig = dist.sigma_from_rho(brho)
@@ -163,10 +279,8 @@ def fused_mc_apply(
                 b, bmu, bsig, beps,
                 bparams.prior_mu.get(bpath) if spec.moped else None, mixture,
             )
-            lq, lp = lq + lq_b, lp + lp_b
-        if kpath not in seen:
-            seen.add(kpath)
-            collected.append((lq, lp))
+            if new_leaf:
+                collected.append((lq_b, lp_b, bkind != "rep"))
         return y.reshape(lead + (y.shape[-1],))
 
     def handle_embed(mod, ids):
@@ -203,8 +317,53 @@ def fused_mc_apply(
             )(tables)
         if epath not in seen:
             seen.add(epath)
-            collected.append((lq, lp))
+            collected.append((lq, lp, False))  # embeddings replicate under tp
         return out.reshape(lead + (mu.shape[-1],))
+
+    def _local_heads(mod, qkv_names: tuple, n_heads: int) -> int:
+        """Per-device head count for the mha op: column-sharded q/k/v carry
+        n_heads/tp local heads (whole heads, since the Megatron col rules
+        shard the out-feature axis uniformly)."""
+        if tp is None:
+            return n_heads
+        kinds = {
+            tp.kind_fn(SEP.join(getattr(mod, n).path + ("kernel",)))
+            for n in qkv_names
+        }
+        if kinds == {"rep"}:
+            return n_heads
+        if kinds != {"col"}:
+            raise ValueError(
+                f"tp sharding of attention {mod.path} must column-shard all "
+                f"of q/k/v or none; got kinds {kinds}"
+            )
+        if n_heads % tp.size:
+            raise ValueError(
+                f"n_heads={n_heads} must divide by tp={tp.size} "
+                f"(attention {mod.path})"
+            )
+        return n_heads // tp.size
+
+    def _tp_attention_error(mod, qkv_names: tuple):
+        """Raise when an attention block with tp-sharded q/k/v fell through
+        the fused interception: the stock module code would reshape the
+        sharded width with the full head count — a silent-corruption shape
+        error at best. (Only reachable when a NotImplemented feature — mask
+        rank, caching, head masking, attention outputs — is requested.)"""
+        if tp is None:
+            return
+        for n in qkv_names:
+            sub = getattr(mod, n, None)
+            if sub is None:
+                continue
+            if tp.kind_fn(SEP.join(sub.path + ("kernel",))) != "rep":
+                raise ValueError(
+                    f"attention {mod.path} is tp-sharded but the fused "
+                    "attention interception declined this call (unsupported "
+                    "feature: cache/cross-attention/head-mask/attention-"
+                    "dropout/attn-outputs or non-2D mask). Run this "
+                    "configuration with tp=1 or the GSPMD tier."
+                )
 
     def handle_self_attention(mod, f_args, f_kwargs):
         """Run a whole HF self-attention block through the layout-preserving
@@ -244,6 +403,7 @@ def fused_mc_apply(
         H = hidden.shape[-1]
         if hidden.ndim != 3 or H % n_heads or (H // n_heads) % 8:
             return NotImplemented
+        n_heads_local = _local_heads(mod, ("query", "key", "value"), n_heads)
         # All fallback decisions happen BEFORE any handle_dense call: a
         # NotImplemented return after interception would leave abandoned
         # (lq, lp) entries in `collected` for XLA DCE to clean up.
@@ -256,13 +416,54 @@ def fused_mc_apply(
         q = handle_dense(mod.query, hidden)
         k = handle_dense(mod.key, hidden)
         v = handle_dense(mod.value, hidden)
-        return (ops_attention.mha(q, k, v, bias, n_heads),)
+        return (ops_attention.mha(q, k, v, bias, n_heads_local),)
 
     attn_classes = (
         "FlaxBertSelfAttention",
         "FlaxRobertaSelfAttention",
         "FlaxElectraSelfAttention",  # HF 'Copied from' clone of BERT's
     )
+
+    def handle_albert_attention(mod, f_args, f_kwargs):
+        """ALBERT's FlaxAlbertSelfAttention holds q/k/v AND the output
+        projection (`dense`), dropout, and LayerNorm in one module; the
+        handler reproduces that whole block: q/k/v and the output dense ride
+        handle_dense (identical eps/KL bookkeeping; row-parallel psum under
+        tp), attention itself is the layout-preserving mha op, and the
+        module's own dropout/LayerNorm submodules run unchanged."""
+        hidden = f_args[0]
+        attention_mask = (
+            f_args[1] if len(f_args) > 1 else f_kwargs.get("attention_mask")
+        )
+        if f_kwargs.get("output_attentions", False):
+            return NotImplemented
+        deterministic = f_kwargs.get("deterministic", True)
+        p_drop = getattr(
+            getattr(mod, "config", None), "attention_probs_dropout_prob", 0.0
+        )
+        if not deterministic and p_drop > 0:
+            return NotImplemented
+        for name in ("query", "key", "value", "dense"):
+            if SEP.join(mod.path + (name, "kernel")) not in bparams.rho:
+                return NotImplemented
+        n_heads = mod.config.num_attention_heads
+        H = hidden.shape[-1]
+        if hidden.ndim != 3 or H % n_heads or (H // n_heads) % 8:
+            return NotImplemented
+        if attention_mask is None:
+            bias = jnp.zeros(hidden.shape[:2], jnp.float32)
+        elif attention_mask.ndim != 2:
+            return NotImplemented
+        else:
+            bias = ops_attention.mask_to_bias(attention_mask)
+        n_heads_local = _local_heads(mod, ("query", "key", "value"), n_heads)
+        q = handle_dense(mod.query, hidden)
+        k = handle_dense(mod.key, hidden)
+        v = handle_dense(mod.value, hidden)
+        ctx = ops_attention.mha(q, k, v, bias, n_heads_local)
+        proj = handle_dense(mod.dense, ctx)
+        proj = mod.dropout(proj, deterministic=deterministic)
+        return (mod.LayerNorm(proj + hidden),)
 
     def handle_distilbert_attention(mod, f_args, f_kwargs):
         """DistilBERT's FlaxMultiHeadSelfAttention: q/k/v/out projections
@@ -289,11 +490,12 @@ def fused_mc_apply(
             H // n_heads
         ) % 8:
             return NotImplemented
+        n_heads_local = _local_heads(mod, ("q_lin", "k_lin", "v_lin"), n_heads)
         q = handle_dense(mod.q_lin, query)
         k = handle_dense(mod.k_lin, query)
         v = handle_dense(mod.v_lin, query)
         bias = -1e30 * (1.0 - mask.astype(jnp.float32))
-        out = ops_attention.mha(q, k, v, bias, n_heads)
+        out = ops_attention.mha(q, k, v, bias, n_heads_local)
         return (handle_dense(mod.out_lin, out),)
 
     def interceptor(next_fun, f_args, f_kwargs, context):
@@ -304,10 +506,17 @@ def fused_mc_apply(
             out = handle_self_attention(mod, f_args, f_kwargs)
             if out is not NotImplemented:
                 return out
+            _tp_attention_error(mod, ("query", "key", "value"))
         if fuse_attention and type(mod).__name__ == "FlaxMultiHeadSelfAttention":
             out = handle_distilbert_attention(mod, f_args, f_kwargs)
             if out is not NotImplemented:
                 return out
+            _tp_attention_error(mod, ("q_lin", "k_lin", "v_lin"))
+        if fuse_attention and type(mod).__name__ == "FlaxAlbertSelfAttention":
+            out = handle_albert_attention(mod, f_args, f_kwargs)
+            if out is not NotImplemented:
+                return out
+            _tp_attention_error(mod, ("query", "key", "value"))
         if isinstance(mod, nn.Dense):
             kpath = SEP.join(mod.path + ("kernel",))
             if kpath in bparams.rho:
@@ -328,8 +537,16 @@ def fused_mc_apply(
             "fused_mc_apply intercepted no converted layers; the model's "
             "apply function must route through flax module __call__s"
         )
-    log_q = sum(lq for lq, _ in collected)
-    log_p = sum(lp for _, lp in collected)
+    zero = jnp.zeros((S,), jnp.float32)
+    log_q = sum((lq for lq, _, sh in collected if not sh), zero)
+    log_p = sum((lp for _, lp, sh in collected if not sh), zero)
+    if tp is not None:
+        lq_sh = sum((lq for lq, _, sh in collected if sh), zero)
+        lp_sh = sum((lp for _, lp, sh in collected if sh), zero)
+        # one all-reduce reconstitutes the sharded leaves' full KL sums;
+        # replicated leaves were already counted exactly once per device
+        log_q = log_q + coll.reduce_from_shards(lq_sh, tp.axis)
+        log_p = log_p + coll.reduce_from_shards(lp_sh, tp.axis)
     return untile_samples(out, S), {
         "log_prior": log_p,
         "log_variational_posterior": log_q,

@@ -168,7 +168,7 @@ class BayesianModel:
 
     def mc_apply_fused(
         self, bparams: BayesParams, key: jax.Array, n_samples: int, *args,
-        save_weights: bool = True, antithetic: bool = False, **kwargs,
+        save_weights: bool = True, antithetic: bool = False, tp=None, **kwargs,
     ):
         """S MC forwards as ONE super-batched pass through the Pallas tier.
 
@@ -187,7 +187,7 @@ class BayesianModel:
         return fused_lib.fused_mc_apply(
             self.apply_fn, self.spec, bparams, key, n_samples, *args,
             convert_embeddings=convert_embeddings, save_weights=save_weights,
-            antithetic=antithetic,
+            antithetic=antithetic, tp=tp,
             **kwargs,
         )
 

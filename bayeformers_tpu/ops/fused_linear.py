@@ -103,7 +103,8 @@ def _pick_bn_bm(
     return best
 
 
-def _kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref, rho_ref, *rest):
+def _kernel(k_act, n_act, prior, save_w, seed_ref, off_ref, x_ref, mu_ref,
+            rho_ref, *rest):
     # With save_w the sampled-weight buffer is a kernel OUTPUT (block
     # (1, Kp, bn) at (s, 0, j)): it doubles as the on-chip scratch and its
     # single write-back per (s, j) hands the backward pass W for free —
@@ -118,6 +119,8 @@ def _kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref, rho_ref, *rest
     i = pl.program_id(2)
     kp, bn = w_ref.shape
     UK, UN = common.UNIT_K, common.UNIT_N
+    # Global unit offsets (tensor-parallel shards; zero when unsharded).
+    off_k, off_n = off_ref[0], off_ref[1]
 
     @pl.when(i == 0)
     def _regen_and_logprob():
@@ -129,7 +132,9 @@ def _kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref, rho_ref, *rest
             for t in range(bn // UN):
                 rows = slice(c * UK, (c + 1) * UK)
                 cols = slice(t * UN, (t + 1) * UN)
-                eps = common.unit_eps(seed_ref[s], j * (bn // UN) + t, c)
+                eps = common.unit_eps(
+                    seed_ref[s], j * (bn // UN) + t + off_n, c + off_k
+                )
                 rho_u = rho_ref[rows, cols]
                 sigma = jax.nn.softplus(rho_u)
                 w = mu_ref[rows, cols] + sigma * eps
@@ -225,8 +230,18 @@ def _pad_kn(k: int, n: int) -> tuple[int, int]:
     return common.round_up(k, common.UNIT_K), common.round_up(n, 128)
 
 
+def _unit_offsets(offsets) -> jax.Array:
+    """Element offsets -> (UNIT_K, UNIT_N)-unit offsets for the kernels."""
+    if offsets is None:
+        return jnp.zeros((2,), jnp.int32)
+    offsets = jnp.asarray(offsets, jnp.int32)
+    return jnp.stack(
+        [offsets[0] // common.UNIT_K, offsets[1] // common.UNIT_N]
+    )
+
+
 def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
-                         save_w: bool = False):
+                         save_w: bool = False, offsets=None):
     S, M, K = x.shape
     _, N = mu.shape
     Kp, Np = _pad_kn(K, N)
@@ -234,7 +249,8 @@ def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
     bk_tall = _ktall_bk(Kp, Np, M, x.dtype.itemsize, jnp.dtype(w_dtype).itemsize)
     if bk_tall is not None:
         return _pallas_bayes_linear_ktall(
-            x, mu, rho, seeds, prior_mu, prior, bk_tall, save_w=save_w
+            x, mu, rho, seeds, prior_mu, prior, bk_tall, save_w=save_w,
+            offsets=offsets,
         )
     bn, bm = _pick_bn_bm(
         Kp, Np, M, _n_weight_arrays(prior), x_bytes=x.dtype.itemsize,
@@ -249,8 +265,9 @@ def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
     weight_spec = pl.BlockSpec(
         (Kp, bn), lambda j, s, i: (0, j), memory_space=pltpu.VMEM
     )
-    inputs = [seeds.astype(jnp.int32), xp, mup, rhop]
+    inputs = [seeds.astype(jnp.int32), _unit_offsets(offsets), xp, mup, rhop]
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, bm, Kp), lambda j, s, i: (s, i, 0),
                      memory_space=pltpu.VMEM),
@@ -351,8 +368,8 @@ def _ktall_bk(kp: int, np_: int, m: int, x_bytes: int, w_bytes: int):
     return None
 
 
-def _ktall_kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref,
-                  rho_ref, *rest):
+def _ktall_kernel(k_act, n_act, prior, save_w, seed_ref, off_ref, x_ref,
+                  mu_ref, rho_ref, *rest):
     if prior[0] == "gaussian":
         pmu_ref, o_ref, logq_ref, logp_ref = rest[:4]
         rest = rest[4:]
@@ -366,6 +383,7 @@ def _ktall_kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref,
     kk = pl.program_id(1)
     bk, np_pad = w_ref.shape
     UK, UN = common.UNIT_K, common.UNIT_N
+    off_k, off_n = off_ref[0], off_ref[1]
 
     t_q = jnp.zeros((), jnp.float32)
     t_p = jnp.zeros((), jnp.float32)
@@ -374,7 +392,7 @@ def _ktall_kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref,
             rows = slice(c * UK, (c + 1) * UK)
             cols = slice(t * UN, (t + 1) * UN)
             c_abs = kk * (bk // UK) + c
-            eps = common.unit_eps(seed_ref[s], t, c_abs)
+            eps = common.unit_eps(seed_ref[s], t + off_n, c_abs + off_k)
             rho_u = rho_ref[rows, cols]
             sigma = jax.nn.softplus(rho_u)
             w = mu_ref[rows, cols] + sigma * eps
@@ -451,7 +469,7 @@ def _ktall_kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref,
 
 
 def _pallas_bayes_linear_ktall(x, mu, rho, seeds, prior_mu, prior: tuple,
-                               bk: int, save_w: bool = False):
+                               bk: int, save_w: bool = False, offsets=None):
     S, M, K = x.shape
     _, N = mu.shape
     Kp, Np = _pad_kn(K, N)
@@ -465,8 +483,9 @@ def _pallas_bayes_linear_ktall(x, mu, rho, seeds, prior_mu, prior: tuple,
     weight_spec = pl.BlockSpec(
         (bk, Np), lambda s, kk: (kk, 0), memory_space=pltpu.VMEM
     )
-    inputs = [seeds.astype(jnp.int32), xp, mup, rhop]
+    inputs = [seeds.astype(jnp.int32), _unit_offsets(offsets), xp, mup, rhop]
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, Mp, bk), lambda s, kk: (s, 0, kk),
                      memory_space=pltpu.VMEM),
@@ -535,8 +554,8 @@ def _pallas_bayes_linear_ktall(x, mu, rho, seeds, prior_mu, prior: tuple,
 # ---------------------------------------------------------------------------
 
 
-def _anti_kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref,
-                 rho_ref, *rest):
+def _anti_kernel(k_act, n_act, prior, save_w, seed_ref, off_ref, x_ref,
+                 mu_ref, rho_ref, *rest):
     if prior[0] == "gaussian":
         pmu_ref, o_ref, logq_ref, logp_ref, w_ref = rest
     else:
@@ -546,6 +565,7 @@ def _anti_kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref,
     i = pl.program_id(2)
     _, kp, bn = w_ref.shape
     UK, UN = common.UNIT_K, common.UNIT_N
+    off_k, off_n = off_ref[0], off_ref[1]
 
     @pl.when(i == 0)
     def _regen_and_logprob():
@@ -556,7 +576,9 @@ def _anti_kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref,
             for t in range(bn // UN):
                 rows = slice(c * UK, (c + 1) * UK)
                 cols = slice(t * UN, (t + 1) * UN)
-                eps = common.unit_eps(seed_ref[s2], j * (bn // UN) + t, c)
+                eps = common.unit_eps(
+                    seed_ref[s2], j * (bn // UN) + t + off_n, c + off_k
+                )
                 mu_u = mu_ref[rows, cols]
                 se = jax.nn.softplus(rho_ref[rows, cols]) * eps
                 w0 = mu_u + se
@@ -632,7 +654,8 @@ def _anti_kernel(k_act, n_act, prior, save_w, seed_ref, x_ref, mu_ref,
 
 
 def _pallas_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple,
-                              bn: int, bm: int, save_w: bool = False):
+                              bn: int, bm: int, save_w: bool = False,
+                              offsets=None):
     S, M, K = x.shape
     S2 = S // 2
     _, N = mu.shape
@@ -647,8 +670,11 @@ def _pallas_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple,
     weight_spec = pl.BlockSpec(
         (Kp, bn), lambda j, s2, i: (0, j), memory_space=pltpu.VMEM
     )
-    inputs = [seeds_half.astype(jnp.int32), xp, mup, rhop]
+    inputs = [
+        seeds_half.astype(jnp.int32), _unit_offsets(offsets), xp, mup, rhop
+    ]
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         # sample-dim block of 2: one grid step sees both pair members
         pl.BlockSpec((2, bm, Kp), lambda j, s2, i: (s2, i, 0),
@@ -705,23 +731,26 @@ def _pallas_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple,
     return y, logq, logp
 
 
-def _fullk_regen_kernel(seed_ref, mu_ref, rho_ref, w_ref):
+def _fullk_regen_kernel(seed_ref, off_ref, mu_ref, rho_ref, w_ref):
     """Regenerate W with the same unit-canonical eps stream as _kernel."""
     j = pl.program_id(0)
     s = pl.program_id(1)
     kp, bn = w_ref.shape[1], w_ref.shape[2]
     UK, UN = common.UNIT_K, common.UNIT_N
+    off_k, off_n = off_ref[0], off_ref[1]
     for c in range(kp // UK):
         for t in range(bn // UN):
             rows = slice(c * UK, (c + 1) * UK)
             cols = slice(t * UN, (t + 1) * UN)
-            eps = common.unit_eps(seed_ref[s], j * (bn // UN) + t, c)
+            eps = common.unit_eps(
+                seed_ref[s], j * (bn // UN) + t + off_n, c + off_k
+            )
             w_ref[0, rows, cols] = (
                 mu_ref[rows, cols] + jax.nn.softplus(rho_ref[rows, cols]) * eps
             )
 
 
-def _pallas_fullk_regen(mu, rho, seeds):
+def _pallas_fullk_regen(mu, rho, seeds, offsets=None):
     K, N = mu.shape
     S = seeds.shape[0]
     Kp, Np = _pad_kn(K, N)
@@ -733,13 +762,14 @@ def _pallas_fullk_regen(mu, rho, seeds):
         grid=(Np // bn, S),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((Kp, bn), lambda j, s: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((Kp, bn), lambda j, s: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, Kp, bn), lambda j, s: (s, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, Kp, Np), jnp.float32),
-    )(seeds.astype(jnp.int32), mup, rhop)
+    )(seeds.astype(jnp.int32), _unit_offsets(offsets), mup, rhop)
     return w[:, :K, :N]
 
 
@@ -765,9 +795,11 @@ def _naive_from_w(x, w, mu, rho, prior_mu, prior: tuple):
     return y, logq, logp
 
 
-def _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple):
+def _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
+                        offsets=None):
     return _naive_from_w(
-        x, split_lib.naive_weights(mu, rho, seeds), mu, rho, prior_mu, prior
+        x, split_lib.naive_weights(mu, rho, seeds, offsets), mu, rho,
+        prior_mu, prior,
     )
 
 
@@ -778,12 +810,15 @@ def interleave_antithetic(w_half: jax.Array, mu: jax.Array) -> jax.Array:
     return pair.reshape((-1,) + w_half.shape[1:])
 
 
-def _naive_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple):
-    w = interleave_antithetic(split_lib.naive_weights(mu, rho, seeds_half), mu)
+def _naive_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple,
+                             offsets=None):
+    w = interleave_antithetic(
+        split_lib.naive_weights(mu, rho, seeds_half, offsets), mu
+    )
     return _naive_from_w(x, w, mu, rho, prior_mu, prior)
 
 
-def _regen(mu, rho, seeds):
+def _regen(mu, rho, seeds, offsets=None):
     """Regenerate exactly the weights the forward used (same dispatch).
 
     Shapes beyond the full-K kernel (e.g. vocab-sized embedding tables used
@@ -793,30 +828,38 @@ def _regen(mu, rho, seeds):
     """
     kp = common.round_up(mu.shape[0], common.UNIT_K)
     if split_lib.use_pallas() and kp <= MAX_FULLK:
-        return _pallas_fullk_regen(mu, rho, seeds)
-    return split_lib.naive_weights(mu, rho, seeds)
+        return _pallas_fullk_regen(mu, rho, seeds, offsets)
+    return split_lib.naive_weights(mu, rho, seeds, offsets)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _bayes_linear(x, mu, rho, seeds, offsets, prior_mu, prior: tuple):
     if split_lib.use_pallas():
-        return _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior)
-    return _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior)
+        return _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior,
+                                    offsets=offsets)
+    return _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior, offsets)
 
 
-def _fwd(x, mu, rho, seeds, prior_mu, prior):
-    return _bayes_linear(x, mu, rho, seeds, prior_mu, prior), (
-        x, mu, rho, seeds, prior_mu,
+def _fwd(x, mu, rho, seeds, offsets, prior_mu, prior):
+    return _bayes_linear(x, mu, rho, seeds, offsets, prior_mu, prior), (
+        x, mu, rho, seeds, offsets, prior_mu,
     )
 
 
 def _bwd(prior, res, cotangents):
-    x, mu, rho, seeds, prior_mu = res
-    w = _regen(mu, rho, seeds)
-    return _bwd_common(prior, x, mu, rho, prior_mu, w, seeds, cotangents)
+    x, mu, rho, seeds, offsets, prior_mu = res
+    w = _regen(mu, rho, seeds, offsets)
+    return _bwd_common(prior, x, mu, rho, prior_mu, w, seeds, offsets,
+                       cotangents)
 
 
-def _bwd_common(prior, x, mu, rho, prior_mu, w, seeds, cotangents):
+def _zero_offsets_ct(offsets):
+    return None if offsets is None else np.zeros(
+        offsets.shape, dtype=jax.dtypes.float0
+    )
+
+
+def _bwd_common(prior, x, mu, rho, prior_mu, w, seeds, offsets, cotangents):
     g_y, g_q, g_p = cotangents
 
     # dx matmul: bf16 inputs when activations are bf16, f32 accumulation
@@ -840,7 +883,7 @@ def _bwd_common(prior, x, mu, rho, prior_mu, w, seeds, cotangents):
     if prior[0] != "gaussian":
         dprior_mu = jnp.zeros_like(prior_mu)
     dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
-    return dx, dmu, drho, dseeds, dprior_mu
+    return dx, dmu, drho, dseeds, _zero_offsets_ct(offsets), dprior_mu
 
 
 _bayes_linear.defvjp(_fwd, _bwd)
@@ -884,30 +927,32 @@ sampled_weights.defvjp(_sampled_weights_fwd, _sampled_weights_bwd)
 # backward pass costs one HBM read instead of a full PRNG regeneration.
 # ---------------------------------------------------------------------------
 
-def _impl_saved(x, mu, rho, seeds, prior_mu, prior: tuple):
+def _impl_saved(x, mu, rho, seeds, prior_mu, prior: tuple, offsets=None):
     if split_lib.use_pallas():
         return _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior,
-                                    save_w=True)
-    y, lq, lp = _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior)
-    return y, lq, lp, split_lib.naive_weights(mu, rho, seeds)
+                                    save_w=True, offsets=offsets)
+    y, lq, lp = _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior,
+                                    offsets)
+    return y, lq, lp, split_lib.naive_weights(mu, rho, seeds, offsets)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _bayes_linear_saved(x, mu, rho, seeds, prior_mu, prior: tuple):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _bayes_linear_saved(x, mu, rho, seeds, offsets, prior_mu, prior: tuple):
     # Primal (non-differentiated calls, i.e. inference): identical values
     # WITHOUT writing W to HBM; only the AD forward (_fwd_saved) pays the
     # residual write, which backward then reads instead of regenerating.
-    return _bayes_linear(x, mu, rho, seeds, prior_mu, prior)
+    return _bayes_linear(x, mu, rho, seeds, offsets, prior_mu, prior)
 
 
-def _fwd_saved(x, mu, rho, seeds, prior_mu, prior):
-    y, lq, lp, w = _impl_saved(x, mu, rho, seeds, prior_mu, prior)
-    return (y, lq, lp), (x, mu, rho, prior_mu, w, seeds)
+def _fwd_saved(x, mu, rho, seeds, offsets, prior_mu, prior):
+    y, lq, lp, w = _impl_saved(x, mu, rho, seeds, prior_mu, prior, offsets)
+    return (y, lq, lp), (x, mu, rho, prior_mu, w, seeds, offsets)
 
 
 def _bwd_saved(prior, res, cotangents):
-    x, mu, rho, prior_mu, w, seeds = res
-    return _bwd_common(prior, x, mu, rho, prior_mu, w, seeds, cotangents)
+    x, mu, rho, prior_mu, w, seeds, offsets = res
+    return _bwd_common(prior, x, mu, rho, prior_mu, w, seeds, offsets,
+                       cotangents)
 
 
 _bayes_linear_saved.defvjp(_fwd_saved, _bwd_saved)
@@ -920,8 +965,8 @@ _bayes_linear_saved.defvjp(_fwd_saved, _bwd_saved)
 # ---------------------------------------------------------------------------
 
 
-def _regen_anti(mu, rho, seeds_half):
-    return interleave_antithetic(_regen(mu, rho, seeds_half), mu)
+def _regen_anti(mu, rho, seeds_half, offsets=None):
+    return interleave_antithetic(_regen(mu, rho, seeds_half, offsets), mu)
 
 
 def _anti_tiles(x, mu, prior: tuple):
@@ -936,56 +981,62 @@ def _anti_tiles(x, mu, prior: tuple):
     )
 
 
-def _impl_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple, save_w: bool):
+def _impl_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple, save_w: bool,
+               offsets=None):
     if split_lib.use_pallas():
         tiles = _anti_tiles(x, mu, prior)
         if tiles is not None:
             return _pallas_bayes_linear_anti(
-                x, mu, rho, seeds_half, prior_mu, prior, *tiles, save_w=save_w
+                x, mu, rho, seeds_half, prior_mu, prior, *tiles, save_w=save_w,
+                offsets=offsets,
             )
-    out = _naive_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior)
+    out = _naive_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior,
+                                   offsets)
     if save_w:
         w = interleave_antithetic(
-            split_lib.naive_weights(mu, rho, seeds_half), mu
+            split_lib.naive_weights(mu, rho, seeds_half, offsets), mu
         )
         return (*out, w)
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple):
-    return _impl_anti(x, mu, rho, seeds_half, prior_mu, prior, save_w=False)[:3]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _bayes_linear_anti(x, mu, rho, seeds_half, offsets, prior_mu, prior: tuple):
+    return _impl_anti(x, mu, rho, seeds_half, prior_mu, prior, save_w=False,
+                      offsets=offsets)[:3]
 
 
-def _fwd_anti(x, mu, rho, seeds_half, prior_mu, prior):
-    return _bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior), (
-        x, mu, rho, seeds_half, prior_mu,
-    )
+def _fwd_anti(x, mu, rho, seeds_half, offsets, prior_mu, prior):
+    return _bayes_linear_anti(x, mu, rho, seeds_half, offsets, prior_mu,
+                              prior), (x, mu, rho, seeds_half, offsets,
+                                       prior_mu)
 
 
 def _bwd_anti(prior, res, cotangents):
-    x, mu, rho, seeds_half, prior_mu = res
+    x, mu, rho, seeds_half, offsets, prior_mu = res
     if split_lib.use_pallas() and _anti_tiles(x, mu, prior) is not None:
-        w = _regen_anti(mu, rho, seeds_half)
+        w = _regen_anti(mu, rho, seeds_half, offsets)
     else:
         w = interleave_antithetic(
-            split_lib.naive_weights(mu, rho, seeds_half), mu
+            split_lib.naive_weights(mu, rho, seeds_half, offsets), mu
         )
-    return _bwd_common(prior, x, mu, rho, prior_mu, w, seeds_half, cotangents)
+    return _bwd_common(prior, x, mu, rho, prior_mu, w, seeds_half, offsets,
+                       cotangents)
 
 
 _bayes_linear_anti.defvjp(_fwd_anti, _bwd_anti)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _bayes_linear_saved_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple):
-    return _bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _bayes_linear_saved_anti(x, mu, rho, seeds_half, offsets, prior_mu,
+                             prior: tuple):
+    return _bayes_linear_anti(x, mu, rho, seeds_half, offsets, prior_mu, prior)
 
 
-def _fwd_saved_anti(x, mu, rho, seeds_half, prior_mu, prior):
+def _fwd_saved_anti(x, mu, rho, seeds_half, offsets, prior_mu, prior):
     y, lq, lp, w = _impl_anti(x, mu, rho, seeds_half, prior_mu, prior,
-                              save_w=True)
-    return (y, lq, lp), (x, mu, rho, prior_mu, w, seeds_half)
+                              save_w=True, offsets=offsets)
+    return (y, lq, lp), (x, mu, rho, prior_mu, w, seeds_half, offsets)
 
 
 _bayes_linear_saved_anti.defvjp(_fwd_saved_anti, _bwd_saved)
@@ -993,7 +1044,7 @@ _bayes_linear_saved_anti.defvjp(_fwd_saved_anti, _bwd_saved)
 
 def bayes_linear(
     x, mu, rho, seeds, *, mixture=None, prior_mu=None, prior_on_mu: bool = False,
-    save_weights: bool = True, antithetic: bool = False,
+    save_weights: bool = True, antithetic: bool = False, unit_offsets=None,
 ):
     """Combined sampled matmul + per-sample log-probs in one op.
 
@@ -1011,6 +1062,13 @@ def bayes_linear(
     an even sample dim. Unbiased with lower MC variance, and the paired
     kernel generates half the Gaussian noise.
 
+    ``unit_offsets`` (tensor parallelism): (2,) int32 global element offsets
+    (k0, n0) of this weight shard within the logical unsharded layer. When
+    the offsets are unit-aligned (multiples of the backend's eps-unit sizes
+    — the caller's responsibility, see nn/fused.py), the shard draws exactly
+    the corresponding slice of the unsharded layer's noise stream, so a
+    tp-sharded forward reproduces the single-device draws.
+
     Returns ``(y, log_q, log_p)`` with ``log_*`` of shape (S,).
     """
     given = sum(v is not None and v is not False for v in (mixture, prior_mu)) + int(
@@ -1027,6 +1085,10 @@ def bayes_linear(
         prior = ("mixture",) + tuple(float(v) for v in mixture)
         prior_mu = mu  # unused dummy; zero cotangent in backward
 
+    offsets = (
+        None if unit_offsets is None else jnp.asarray(unit_offsets, jnp.int32)
+    )
+
     if antithetic:
         if x.shape[0] % 2 or x.shape[0] != 2 * seeds.shape[0]:
             raise ValueError(
@@ -1040,8 +1102,9 @@ def bayes_linear(
         # from the half-seeds instead of reading residuals.
         kp_anti = common.round_up(x.shape[-1], common.UNIT_K)
         if save_weights and not (x.dtype == jnp.float32 and kp_anti > 2048):
-            return _bayes_linear_saved_anti(x, mu, rho, seeds, prior_mu, prior)
-        return _bayes_linear_anti(x, mu, rho, seeds, prior_mu, prior)
+            return _bayes_linear_saved_anti(x, mu, rho, seeds, offsets,
+                                            prior_mu, prior)
+        return _bayes_linear_anti(x, mu, rho, seeds, offsets, prior_mu, prior)
 
     # Experimental routing: layers at or below this size run the pure-XLA
     # naive path (jnp sampling + autodiff) even on TPU — XLA then owns the
@@ -1052,11 +1115,15 @@ def bayes_linear(
         thresh
         and split_lib.use_pallas()
         and max(x.shape[-1], mu.shape[1]) <= thresh
+        and offsets is None
     ):
         return _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior)
 
     # Layers too large for the full-K kernel take the split multi-tile path
     # (its own custom VJPs; decision made here so fwd/bwd always agree).
+    # The split ops have no offset plumbing; an offset-carrying (tp-sharded)
+    # layer that doesn't fit the combined kernels runs the naive path
+    # instead — correct, just slower, and no transformer shard hits it.
     kp, np_ = _pad_kn(x.shape[-1], mu.shape[1])
     w_bytes = jnp.dtype(_w_dtype(x.dtype)).itemsize
     fullk_ok = kp <= MAX_FULLK and _pick_bn_bm(
@@ -1065,6 +1132,11 @@ def bayes_linear(
     ) is not None
     ktall_ok = _ktall_bk(kp, np_, x.shape[1], x.dtype.itemsize, w_bytes) is not None
     if split_lib.use_pallas() and not (fullk_ok or ktall_ok):
+        if offsets is not None:
+            # plain-XLA autodiff: eps is key-derived (constant under AD), so
+            # the reparametrization gradients fall out without a custom VJP
+            return _naive_bayes_linear(x, mu, rho, seeds, prior_mu, prior,
+                                       offsets)
         y = split_lib.sampled_dense(x, mu, rho, seeds)
         if prior[0] == "mixture":
             lq, lp = logprob_lib.sampled_logprobs(mu, rho, seeds, mixture=mixture)
@@ -1072,5 +1144,5 @@ def bayes_linear(
             lq, lp = logprob_lib.sampled_logprobs(mu, rho, seeds, prior_mu=prior_mu)
         return y, lq, lp
     if save_weights:
-        return _bayes_linear_saved(x, mu, rho, seeds, prior_mu, prior)
-    return _bayes_linear(x, mu, rho, seeds, prior_mu, prior)
+        return _bayes_linear_saved(x, mu, rho, seeds, offsets, prior_mu, prior)
+    return _bayes_linear(x, mu, rho, seeds, offsets, prior_mu, prior)

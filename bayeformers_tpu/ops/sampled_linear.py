@@ -47,15 +47,59 @@ def use_pallas() -> bool:
 # Naive (reference-style) path: shared eps via jax.random
 # ---------------------------------------------------------------------------
 
-def naive_eps(seeds: jax.Array, shape: tuple[int, int]) -> jax.Array:
-    """(S, K, N) standard normals, deterministic per seed."""
+# The naive stream is generated in (128, 128) units keyed by ABSOLUTE unit
+# coordinates (mirroring the Pallas kernels' absolute (UNIT_K, UNIT_N)
+# seeding, ops/common.py): eps for element (k, n) is a pure function of
+# (seed, k // 128, n // 128, k % 128, n % 128). A tensor-parallel shard whose
+# global element offsets (multiples of 128) are passed via ``offsets`` draws
+# exactly the corresponding slice of the unsharded array's noise — the
+# invariant behind the dp x tp vs single-device parity tests.
+NAIVE_UNIT = 128
+
+
+def naive_eps(
+    seeds: jax.Array, shape: tuple[int, int], offsets=None
+) -> jax.Array:
+    """(S, K, N) standard normals, deterministic per (seed, global coords).
+
+    ``offsets``: optional (2,) int32 global element offsets (k0, n0) of this
+    array's [0, 0] corner within the logical unsharded weight; both must be
+    multiples of ``NAIVE_UNIT`` (callers fall back to decorrelated per-shard
+    seeds when a sharding cannot satisfy that — see nn/fused.py).
+    """
+    K, N = shape
+    ku = -(-K // NAIVE_UNIT)
+    nu = -(-N // NAIVE_UNIT)
+    if offsets is None:
+        k0 = n0 = jnp.int32(0)
+    else:
+        offsets = jnp.asarray(offsets, jnp.int32)
+        k0, n0 = offsets[0] // NAIVE_UNIT, offsets[1] // NAIVE_UNIT
+    ik = jnp.repeat(jnp.arange(ku, dtype=jnp.int32), nu) + k0
+    in_ = jnp.tile(jnp.arange(nu, dtype=jnp.int32), ku) + n0
+
     def one(seed):
-        return jax.random.normal(jax.random.key(seed), shape, jnp.float32)
+        key = jax.random.key(seed)
+
+        def unit(a, b):
+            return jax.random.normal(
+                jax.random.fold_in(jax.random.fold_in(key, a), b),
+                (NAIVE_UNIT, NAIVE_UNIT), jnp.float32,
+            )
+
+        units = jax.vmap(unit)(ik, in_)
+        full = units.reshape(ku, nu, NAIVE_UNIT, NAIVE_UNIT).transpose(
+            0, 2, 1, 3
+        ).reshape(ku * NAIVE_UNIT, nu * NAIVE_UNIT)
+        return full[:K, :N]
+
     return jax.vmap(one)(seeds)
 
 
-def naive_weights(mu: jax.Array, rho: jax.Array, seeds: jax.Array) -> jax.Array:
-    eps = naive_eps(seeds, mu.shape)
+def naive_weights(
+    mu: jax.Array, rho: jax.Array, seeds: jax.Array, offsets=None
+) -> jax.Array:
+    eps = naive_eps(seeds, mu.shape, offsets)
     return mu[None] + jax.nn.softplus(rho)[None] * eps
 
 

@@ -144,6 +144,7 @@ def train(
     tp: int = 1,
     estimator: str | None = None,
     mc_chunk: int | None = None,
+    independent_draws: bool = False,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
     writer = MetricsWriter(logs, name)
@@ -180,17 +181,19 @@ def train(
 
     # Multi-device mesh (supersedes the reference's 4-GPU DataParallel,
     # `examples/bert_squad.py:245`): dp shards the batch; tp shards the
-    # Megatron way (GSPMD tier only — a Pallas kernel is a black box to the
-    # partitioner, so the fused tier scales via shard_map data parallelism).
+    # Megatron way — GSPMD partitions the vmapped tier, while the fused
+    # Pallas tier runs Megatron tp INSIDE shard_map (a Pallas kernel is a
+    # black box to the partitioner; nn/fused.py inserts the f/g collectives
+    # around the weight-sharded kernels itself).
     mesh = None
-    use_shard_map = estimator in ("fused", "flipout")  # Pallas-backed tiers
+    use_shard_map = estimator in ("fused", "antithetic", "flipout")
+    tp_fused = False  # Megatron-sharded fused tier (shard_map dp x tp)
     if dp != 1 or tp != 1:
         if dp <= 0:
             dp = len(jax.devices()) // tp
         if batch_size % dp:
             raise ValueError(f"batch_size {batch_size} must divide dp={dp}")
-        if use_shard_map and tp != 1:
-            raise ValueError("tp>1 requires the GSPMD tier (--estimator naive)")
+        tp_fused = use_shard_map and tp != 1
         mesh = mesh_lib.make_mesh(dp, tp)
         print(f"[bert_glue] mesh dp={dp} tp={tp} "
               f"({'shard_map+Pallas' if use_shard_map else 'GSPMD'})")
@@ -270,11 +273,12 @@ def train(
         bundle.apply_fn, params, delta=delta, freeze=True
     )
     if mesh is not None:
-        if use_shard_map:
-            # shard_map tier: replicated params, batch-sharded step
+        if use_shard_map and not tp_fused:
+            # dp-only shard_map tier: replicated params, batch-sharded step
             bparams = parallel_lib.replicate(bparams, mesh)
         else:
-            # GSPMD tier: Megatron tp sharding (dp-only = all-replicated)
+            # Megatron tp sharding (GSPMD tier, or the fused shard_map tp
+            # tier which consumes the same per-leaf shardings)
             bparams = mesh_lib.shard_bayes_params(bparams, mesh)
 
     # checkpoint resume (gap-fill over the reference's save-only flow,
@@ -295,6 +299,10 @@ def train(
     sample_keys = ("mse", "mse_std") if regression else ("acc", "acc_std")
 
     def eval_bayesian(bparams, key):
+        if tp_fused:
+            # eval runs the single-device fused step; gather the Megatron
+            # shards back to replicated once per eval (one all-gather)
+            bparams = parallel_lib.replicate(bparams, mesh)
         report = Report("nll", *sample_keys, "log_prior",
                         "log_variational_posterior", "n")
         preds, labels, probs = [], [], []
@@ -349,18 +357,21 @@ def train(
     b_schedule = optax.linear_schedule(lr, 0.0, b_total)
     base_tx = training.adamw_with_decay_groups(
         b_schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
-        clip_norm=CLIP_NORM,
+        # with Megatron-sharded weights an in-tx clip would compute a LOCAL
+        # norm per device; the trainer clips sharded-aware instead
+        clip_norm=None if tp_fused else CLIP_NORM,
     )
     btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
     b_opt_state = btx.init(bparams)
     if mesh is not None and use_shard_map:
         # Pallas kernels are opaque to the GSPMD partitioner; shard_map runs
         # the single-device fused/flipout step per dp shard with an explicit
-        # psum
-        b_step = parallel_lib.make_dp_train_step(
+        # psum (and Megatron f/g collectives over tp when tp > 1)
+        b_step = parallel_lib.make_train_step(
             bmodel, btx, samples, n_batches, mesh, loss_fn=loss_fn,
             fused=fused, input_keys=input_keys, estimator=estimator,
-            mc_chunk=mc_chunk,
+            mc_chunk=mc_chunk, independent_draws=independent_draws,
+            clip_norm=CLIP_NORM if tp_fused else None,
         )
     else:
         b_step = training.make_elbo_train_step(
@@ -455,7 +466,13 @@ def main():
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel mesh size (0 = all devices / tp)")
     parser.add_argument("--tp", type=int, default=1,
-                        help="tensor-parallel mesh size (requires --no-fused)")
+                        help="tensor-parallel mesh size (Megatron sharding; "
+                             "works with the fused Pallas tier via shard_map "
+                             "and with the GSPMD tier)")
+    parser.add_argument("--independent-draws", action="store_true",
+                        help="each dp shard draws its own MC sample set "
+                             "(reference DataParallel semantics; S x dp "
+                             "effective samples)")
     parser.add_argument("--hypersearch", type=int, default=0,
                         help="run N random-search trials over delta/weight_decay")
     args = parser.parse_args()
@@ -470,6 +487,7 @@ def main():
         save_dir=args.save_dir, resume=args.resume,
         profile_dir=args.profile_dir, dp=args.dp, tp=args.tp,
         estimator=args.estimator, mc_chunk=args.mc_chunk,
+        independent_draws=args.independent_draws,
     )
     t0 = time.time()
     if args.hypersearch:

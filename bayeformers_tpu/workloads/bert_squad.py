@@ -181,6 +181,7 @@ def train(
     tp: int = 1,
     estimator: str | None = None,
     mc_chunk: int | None = None,
+    independent_draws: bool = False,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
     estimator = estimator or ("fused" if fused else "naive")
@@ -212,13 +213,13 @@ def train(
     # dp shards the batch (shard_map for the fused Pallas tier, GSPMD for
     # the vmapped tier); tp uses the Megatron rules (GSPMD tier only).
     mesh = None
+    tp_fused = False  # Megatron-sharded fused tier (shard_map dp x tp)
     if dp != 1 or tp != 1:
         if dp <= 0:
             dp = len(jax.devices()) // tp
         if batch_size % dp:
             raise ValueError(f"batch_size {batch_size} must divide dp={dp}")
-        if fused and tp != 1:
-            raise ValueError("tp>1 requires the GSPMD tier (fused=False)")
+        tp_fused = fused and tp != 1
         mesh = mesh_lib.make_mesh(dp, tp)
         print(f"[bert_squad] mesh dp={dp} tp={tp} "
               f"({'shard_map+Pallas' if fused else 'GSPMD'})")
@@ -269,9 +270,10 @@ def train(
     # ---------------- Phase B-D: conversion, eval, Bayesian train ----------
     bmodel, bparams = bf.to_bayesian(bundle.apply_fn, params, delta=delta, freeze=True)
     if mesh is not None:
-        if fused:
+        if fused and not tp_fused:
             bparams = parallel_lib.replicate(bparams, mesh)
         else:
+            # Megatron shardings (GSPMD tier, or the fused shard_map tp tier)
             bparams = mesh_lib.shard_bayes_params(bparams, mesh)
 
     # checkpoint resume (mirrors bert_glue; the reference is save-only,
@@ -291,6 +293,10 @@ def train(
 
     def eval_bayesian(bparams, key):
         """Span-accuracy metrics on held-out features + EM/F1 if real data."""
+        if tp_fused:
+            # eval runs the single-device fused step; gather the Megatron
+            # shards back to replicated once per eval (one all-gather)
+            bparams = parallel_lib.replicate(bparams, mesh)
         report = Report("nll", "acc", "acc_std", "n")
         predictions = {}
         has_labels = "start_positions" in dev_data
@@ -344,15 +350,18 @@ def train(
     b_schedule = optax.linear_schedule(lr, 0.0, max(1, n_batches * b_epochs))
     base_tx = training.adamw_with_decay_groups(
         b_schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
-        clip_norm=CLIP_NORM,
+        # the trainer clips sharded-aware when weights are Megatron-sharded
+        clip_norm=None if tp_fused else CLIP_NORM,
     )
     btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
     b_opt_state = btx.init(bparams)
     if mesh is not None and fused:
-        b_step = parallel_lib.make_dp_train_step(
+        b_step = parallel_lib.make_train_step(
             bmodel, btx, samples, n_batches, mesh,
             loss_fn=training.qa_span_loss, fused=True, input_keys=input_keys,
             estimator=estimator, mc_chunk=mc_chunk,
+            independent_draws=independent_draws,
+            clip_norm=CLIP_NORM if tp_fused else None,
         )
     else:
         b_step = training.make_elbo_train_step(
@@ -435,7 +444,12 @@ def main():
     parser.add_argument("--dp", type=int, default=1,
                         help="data-parallel mesh size (0 = all devices / tp)")
     parser.add_argument("--tp", type=int, default=1,
-                        help="tensor-parallel mesh size (requires --no-fused)")
+                        help="tensor-parallel mesh size (Megatron sharding; "
+                             "works with the fused Pallas tier via shard_map "
+                             "and with the GSPMD tier)")
+    parser.add_argument("--independent-draws", action="store_true",
+                        help="each dp shard draws its own MC sample set "
+                             "(reference DataParallel semantics)")
     parser.add_argument("--hypersearch", type=int, default=0)
     args = parser.parse_args()
 
@@ -449,6 +463,7 @@ def main():
         limit_batches=args.limit_batches, fused=not args.no_fused,
         estimator=args.estimator, mc_chunk=args.mc_chunk,
         save_dir=args.save_dir, resume=args.resume, dp=args.dp, tp=args.tp,
+        independent_draws=args.independent_draws,
     )
     t0 = time.time()
     if args.hypersearch:

@@ -51,9 +51,9 @@ def _expected_outputs(bmodel, bp, key, S, x, apply_fn):
             mu = flat[path]
             rho = bp.rho[path]
             if path.endswith("bias"):
-                beps = jax.random.normal(
-                    jax.random.fold_in(key, i), (S,) + mu.shape, mu.dtype
-                )
+                beps = fused_lib._unit_bias_eps(
+                    jax.random.fold_in(key, i), S, mu.shape[0], None
+                ).astype(mu.dtype)
                 w_s = mu + dist.sigma_from_rho(rho) * beps[s]
             else:
                 w_all = ops_flinear.regenerate_weights(mu, rho, seeds)
@@ -99,9 +99,9 @@ def test_fused_logprobs_consistent_with_weights(setup):
             mu, rho = flat[path], bp.rho[path]
             sigma = dist.sigma_from_rho(rho)
             if path.endswith("bias"):
-                beps = jax.random.normal(
-                    jax.random.fold_in(key, i), (S,) + mu.shape, mu.dtype
-                )
+                beps = fused_lib._unit_bias_eps(
+                    jax.random.fold_in(key, i), S, mu.shape[0], None
+                ).astype(mu.dtype)
                 w_s = mu + sigma * beps[s]
             else:
                 seeds = ops_common.seed_from_key(

@@ -140,3 +140,46 @@ def test_electra_fused_attention_matches_default_path():
     out_off, _ = bmodel.mc_apply_fused(bp, key, 2, fuse_attention=False, **batch)
     np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_albert_fused_attention_matches_default_path():
+    """ALBERT's whole-block attention handler (q/k/v + output dense +
+    dropout + LayerNorm inside one module, nn/fused.py) must agree with the
+    per-Dense interception it replaces — and must actually fire."""
+    from bayeformers_tpu.nn import fused as fused_lib
+    from bayeformers_tpu.ops import attention as ops_attention
+
+    bundle = bert_lib.build_model("albert-base", size="tiny", seed=0)
+    bmodel, bp = bf.to_bayesian(
+        bundle.apply_fn, bundle.params, delta=0.05, freeze=True
+    )
+    batch = bert_lib.synthetic_batch(
+        np.random.default_rng(2), 4, 12, bundle.config.vocab_size, 2
+    )
+    batch.pop("labels")
+    key = jax.random.key(4)
+
+    calls = []
+    orig = ops_attention.mha
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    ops_attention.mha, fused_lib.ops_attention.mha = counting, counting
+    try:
+        out_on, aux_on = bmodel.mc_apply_fused(
+            bp, key, 2, fuse_attention=True, **batch
+        )
+    finally:
+        ops_attention.mha = fused_lib.ops_attention.mha = orig
+    assert calls, "ALBERT attention handler never fired"
+    out_off, aux_off = bmodel.mc_apply_fused(
+        bp, key, 2, fuse_attention=False, **batch
+    )
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(aux_on["log_variational_posterior"]),
+        np.asarray(aux_off["log_variational_posterior"]), rtol=1e-5,
+    )

@@ -504,3 +504,53 @@ def test_mha_squad_shapes_fit_or_fall_back():
             np.asarray(ref, np.float32), rtol=tol, atol=tol,
         )
         assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in grads)
+
+
+def test_fused_step_inside_shard_map_on_tpu():
+    """Pallas kernels inside shard_map on real hardware (VERDICT r2 'next'
+    #2b): the production make_train_step (fused estimator, dp=1 mesh on the
+    single chip) must compile and execute — the combination shard_map +
+    pallas_call custom VJPs had otherwise never run anywhere."""
+    import optax
+
+    import bayeformers_tpu as bf
+    from bayeformers_tpu.models import bert as bert_lib
+    from bayeformers_tpu.parallel import train as ptrain
+    from bayeformers_tpu.utils.optim import masked_optimizer
+
+    bundle = bert_lib.build_bert(
+        task="classification", n_labels=2, size="tiny",
+        hidden_size=256, num_attention_heads=4, intermediate_size=512,
+    )
+    bmodel, bp = bf.to_bayesian(
+        bundle.apply_fn, bundle.params, delta=0.05, freeze=True
+    )
+    batch = bert_lib.synthetic_batch(np.random.default_rng(0), 8, 16, 1024, 2)
+    tx = masked_optimizer(optax.sgd(1e-3), bmodel.trainable_mask(bp))
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:1]), ("dp",))
+    step = ptrain.make_train_step(bmodel, tx, 2, 10, mesh, estimator="fused")
+    bp_rep = ptrain.replicate(bp, mesh)
+    batch_sh = jax.tree.map(
+        lambda a: jax.device_put(
+            a,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp")),
+        ),
+        batch,
+    )
+    bp2, _, m = step(bp_rep, tx.init(bp_rep), jax.random.key(3), batch_sh)
+    assert np.isfinite(float(m["loss"]))
+    leaf = np.asarray(
+        bp2.rho["bert/encoder/layer/0/attention/self/query/kernel"]
+    )
+    assert np.isfinite(leaf).all()
+
+    # the same single-device step outside shard_map must agree (same key,
+    # same kernels): shard_map must not perturb the Pallas numerics
+    from bayeformers_tpu import training
+
+    single = training.make_elbo_train_step(bmodel, tx, 2, 10, fused=True)
+    bp1, _, m1 = single(bp, tx.init(bp), jax.random.key(3), batch)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m["loss"]), rtol=2e-5
+    )

@@ -93,6 +93,22 @@ def test_bert_glue_dp_shard_map_tiny(tmp_path):
 
 
 @pytest.mark.slow
+def test_bert_glue_dp_tp_fused_tiny(tmp_path):
+    """--dp x --tp on the FUSED tier: Megatron-sharded weights inside
+    shard_map (round-3 lift of the 'tp>1 requires the GSPMD tier' guard),
+    including sharded-aware clipping and the eval-side all-gather."""
+    from bayeformers_tpu.workloads import bert_glue
+
+    acc = bert_glue.train(
+        exp="t-dptpf", model_name="bert", delta=0.05, weight_decay=0.0,
+        logs=str(tmp_path / "logs"), epochs=1, b_epochs=1, samples=2,
+        batch_size=4, size="tiny", limit_batches=2, seed=0, dp=2, tp=2,
+        estimator="fused",
+    )
+    assert 0.0 <= acc <= 1.0
+
+
+@pytest.mark.slow
 def test_bert_glue_dp_tp_gspmd_tiny(tmp_path):
     """--dp x --tp on the GSPMD tier (fused=False): Megatron tp rules."""
     from bayeformers_tpu.workloads import bert_glue
