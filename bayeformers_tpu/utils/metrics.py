@@ -39,13 +39,24 @@ class Report:
 
 
 class MetricsWriter:
-    """Append-only JSONL scalar writer, one file per run."""
+    """Append-only JSONL scalar writer, one file per run.
 
-    def __init__(self, logdir: str, run_name: str):
+    ``tensorboard=True`` (default) additionally writes genuine TensorBoard
+    event files (utils/tb.py — dependency-free TFRecord/Event encoder) under
+    ``logdir/<run_name>/``, restoring the reference's tensorboardX rendering
+    path (`examples/bert_glue.py:93,141-142`) without the dependency.
+    """
+
+    def __init__(self, logdir: str, run_name: str, tensorboard: bool = True):
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, f"{run_name}.jsonl")
         self._fh = open(self.path, "a", buffering=1)
         self._t0 = time.time()
+        self._tb = None
+        if tensorboard:
+            from bayeformers_tpu.utils.tb import EventWriter
+
+            self._tb = EventWriter(logdir, run_name)
 
     def scalar(self, tag: str, value: float, step: int) -> None:
         self._fh.write(
@@ -59,6 +70,8 @@ class MetricsWriter:
             )
             + "\n"
         )
+        if self._tb is not None:
+            self._tb.scalar(tag, float(value), step)
 
     def scalars(self, prefix: str, values: dict[str, float], step: int) -> None:
         for tag, v in values.items():
@@ -66,6 +79,8 @@ class MetricsWriter:
 
     def close(self) -> None:
         self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def run_name(exp: str, **qualifiers) -> str:

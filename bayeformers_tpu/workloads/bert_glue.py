@@ -96,14 +96,30 @@ def load_glue(data_path: str | None, vocab_size: int, seed: int = 0,
             ids[:, 1] = 4 + (labels * 4).astype(np.int64)  # score-binned token
         else:
             labels = rng.integers(0, n_labels, (n,))
-            ids[:, 1] = 4 + labels * 7  # plantable signal token
+            # plantable signal tokens (positions 1-8): dense enough that a
+            # RANDOM-INIT bert-base learns it within a fine-tune budget (a
+            # single signal token washes out through 12 random layers; the
+            # reference's recipes presume pretrained weights)
+            ids[:, 1:9] = (4 + labels * 7)[:, None]
+            # 12% of examples carry NO signal (evidence-free, label is pure
+            # chance): the model must sit near the decision boundary there,
+            # so the Bayesian phases' uncertainty metrics (acc_std, ECE,
+            # predictive entropy) are exercised for real instead of
+            # degenerating to zero on a perfectly separable stand-in
+            noise_ids = rng.integers(4, vocab_size, (n, 8))
+            ambiguous = rng.random(n) < 0.12
+            ids[:, 1:9] = np.where(
+                ambiguous[:, None], noise_ids, ids[:, 1:9]
+            )
         return {
             "input_ids": jnp.asarray(ids, jnp.int32),
             "attention_mask": jnp.ones((n, MAX_SEQ), jnp.int32),
             "token_type_ids": jnp.zeros((n, MAX_SEQ), jnp.int32),
             "labels": jnp.asarray(labels, label_dtype),
         }
-    return make(512), make(128), True
+    # large enough that a random-init bert-base must generalize to the
+    # planted token rather than memorize the training set
+    return make(2048), make(256), True
 
 
 def batch_iter(data: dict, batch_size: int, seed: int | None = None):
@@ -145,6 +161,7 @@ def train(
     estimator: str | None = None,
     mc_chunk: int | None = None,
     independent_draws: bool = False,
+    warmup: float = 0.0,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
     writer = MetricsWriter(logs, name)
@@ -154,7 +171,12 @@ def train(
     # task generically (`examples/bert_glue.py:98-102`); here label count,
     # regression-ness, and the official metric all come from the registry.
     spec = glue_lib.task_spec(task)
-    estimator = estimator or ("fused" if fused else "naive")
+    # default estimator: antithetic whenever S is even — identical objective
+    # family, strictly lower MC variance, and the paired kernel generates
+    # half the Gaussian noise (measured faster than plain fused; PERF.md)
+    if estimator is None:
+        anti_ok = samples % 2 == 0 and (mc_chunk is None or mc_chunk % 2 == 0)
+        estimator = ("antithetic" if anti_ok else "fused") if fused else "naive"
     regression = spec.regression
     loss_fn = (
         training.regression_loss if regression else training.classification_loss
@@ -204,7 +226,21 @@ def train(
     # ---------------- Phase A: frequentist fine-tune -----------------------
     params = bundle.params
     total_steps = max(1, n_batches * epochs)
-    schedule = optax.linear_schedule(lr, 0.0, total_steps)
+    # ``warmup`` (fraction of total steps): linear warmup then linear decay.
+    # The reference recipe has no warmup — defaults preserve that — but a
+    # RANDOM-INIT post-LN BERT does not train without it (gradients stall at
+    # init; the 2018 BERT recipe's warmup exists for this reason), so the
+    # offline full-scale convergence runs enable it.
+    def make_schedule(peak, total):
+        w = int(total * warmup)
+        if w <= 0:
+            return optax.linear_schedule(peak, 0.0, total)
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, peak, w),
+             optax.linear_schedule(peak, 0.0, total - w)], [w]
+        )
+
+    schedule = make_schedule(lr, total_steps)
     tx = training.adamw_with_decay_groups(
         schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
         clip_norm=CLIP_NORM,
@@ -354,7 +390,7 @@ def train(
 
     # ---------------- Phase D: Bayesian ELBO fine-tune ---------------------
     b_total = max(1, n_batches * b_epochs)
-    b_schedule = optax.linear_schedule(lr, 0.0, b_total)
+    b_schedule = make_schedule(lr, b_total)
     base_tx = training.adamw_with_decay_groups(
         b_schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
         # with Megatron-sharded weights an in-tx clip would compute a LOCAL
@@ -469,6 +505,10 @@ def main():
                         help="tensor-parallel mesh size (Megatron sharding; "
                              "works with the fused Pallas tier via shard_map "
                              "and with the GSPMD tier)")
+    parser.add_argument("--warmup", type=float, default=0.0,
+                        help="linear-warmup fraction of total steps (0 = "
+                             "reference behavior; random-init models need "
+                             "~0.1)")
     parser.add_argument("--independent-draws", action="store_true",
                         help="each dp shard draws its own MC sample set "
                              "(reference DataParallel semantics; S x dp "
@@ -487,7 +527,7 @@ def main():
         save_dir=args.save_dir, resume=args.resume,
         profile_dir=args.profile_dir, dp=args.dp, tp=args.tp,
         estimator=args.estimator, mc_chunk=args.mc_chunk,
-        independent_draws=args.independent_draws,
+        independent_draws=args.independent_draws, warmup=args.warmup,
     )
     t0 = time.time()
     if args.hypersearch:

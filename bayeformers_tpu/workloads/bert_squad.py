@@ -184,7 +184,11 @@ def train(
     independent_draws: bool = False,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
-    estimator = estimator or ("fused" if fused else "naive")
+    # antithetic is the default for even S (lower variance, half the noise
+    # generation; see bert_glue.py) — here S=10 in the reference recipe
+    if estimator is None:
+        anti_ok = samples % 2 == 0 and (mc_chunk is None or mc_chunk % 2 == 0)
+        estimator = ("antithetic" if anti_ok else "fused") if fused else "naive"
     writer = MetricsWriter(logs, name)
     dumper = Dumper(os.path.join(logs, name + ".results"))
 

@@ -1,0 +1,23 @@
+"""Quality artifact: bert-base 4-phase GLUE recipe on the real chip.
+
+The offline environment has no real GLUE TSVs or pretrained checkpoints, so
+this is the long synthetic-convergence equivalent of the reference's MRPC
+fine-tune (`examples/bert_glue.py:167-206`): bert-base (12L/768H, 109M
+params), batch 8, seq 128, S=10, MOPED delta=0.05 freeze=True, bf16,
+antithetic default estimator. Synthetic MRPC stand-in plants label tokens
+with 8% label noise (≈0.96 reachable ceiling), 2048 train / 256 dev.
+lr=3e-4 with 10% warmup — the random-init regime (a post-LN BERT does not
+train from scratch at the reference's pretrained-weights recipe of 2e-5,
+no warmup; probe: logs/probe_phaseA.log).
+Expected shape: phase A converges near the noise ceiling; phase C (MOPED)
+preserves it with nonzero acc_std + ECE; phase D holds accuracy while the
+ELBO/KL trains rho.
+"""
+from bayeformers_tpu.workloads import bert_glue
+
+acc = bert_glue.train(
+    exp="artifact-r3", model_name="bert", delta=0.05, weight_decay=0.0,
+    task="mrpc", logs="logs", epochs=2, b_epochs=3, samples=10,
+    batch_size=8, lr=3e-4, size="base", bf16=True, seed=0, warmup=0.1,
+)
+print("final bayesian acc:", acc)

@@ -75,3 +75,51 @@ def test_pretrained_roundtrip_moped_preserves_accuracy(tmp_path):
     bayes_acc, acc_std = bf.elbo.accuracy_and_std(out, labels)
     assert abs(float(bayes_acc) - freq_acc) <= 0.1, (float(bayes_acc), freq_acc)
     assert np.isfinite(float(acc_std))
+
+
+@pytest.mark.slow
+def test_pretrained_roundtrip_fused_and_qa(tmp_path):
+    """The reloaded-checkpoint MOPED path through the FUSED estimator and
+    the QA (span) head: from_pretrained → to_bayesian → mc_apply_fused must
+    agree with the naive tier, and the QA head must produce both span logits
+    with finite KL terms (VERDICT r2 'next' #5 test extension)."""
+    # classification: fused vs naive on the reloaded checkpoint
+    bundle = bert_lib.build_bert(
+        task="classification", n_labels=2, size="tiny", seed=0
+    )
+    ckpt_dir = tmp_path / "tiny-bert-f"
+    bundle.hf_model.save_pretrained(str(ckpt_dir))
+    reloaded = bert_lib.build_bert(
+        task="classification", n_labels=2, pretrained=str(ckpt_dir)
+    )
+    bmodel, bp = bf.to_bayesian(
+        reloaded.apply_fn, reloaded.params, delta=0.05, freeze=True
+    )
+    rng = np.random.default_rng(1)
+    batch = bert_lib.synthetic_batch(rng, 8, 16, bundle.config.vocab_size, 2)
+    batch.pop("labels")
+    out_f, aux_f = bmodel.mc_apply_fused(bp, jax.random.key(2), 4, **batch)
+    assert out_f.shape[:2] == (4, 8)
+    assert np.isfinite(np.asarray(out_f, np.float32)).all()
+    assert np.isfinite(np.asarray(aux_f["log_variational_posterior"])).all()
+    # naive tier runs on the same reloaded params (numeric fused-vs-manual
+    # parity is covered by tests/test_fused.py; cross-tier MC means use
+    # different eps streams and only agree in distribution)
+    out_n, _ = bmodel.mc_apply(bp, jax.random.key(2), 4, **batch)
+    assert out_n.shape == out_f.shape
+    assert np.isfinite(np.asarray(out_n, np.float32)).all()
+
+    # QA head through the same from_pretrained path
+    qa = bert_lib.build_bert(task="qa", size="tiny", seed=0)
+    qa_dir = tmp_path / "tiny-bert-qa"
+    qa.hf_model.save_pretrained(str(qa_dir))
+    qa_re = bert_lib.build_bert(task="qa", pretrained=str(qa_dir))
+    bm_qa, bp_qa = bf.to_bayesian(
+        qa_re.apply_fn, qa_re.params, delta=0.05, freeze=True
+    )
+    (s_log, e_log), aux = bm_qa.mc_apply_fused(
+        bp_qa, jax.random.key(3), 4, **batch
+    )
+    assert s_log.shape == (4, 8, 16) and e_log.shape == (4, 8, 16)
+    assert np.isfinite(np.asarray(s_log, np.float32)).all()
+    assert np.isfinite(np.asarray(aux["log_prior"])).all()
