@@ -69,7 +69,27 @@ def load_mnist(
     prototypes = rng.uniform(0, 1, (10, 784)).astype(np.float32)
     def make(n):
         y = rng.integers(0, 10, n).astype(np.int32)
-        x = prototypes[y] * 0.6 + rng.uniform(0, 1, (n, 784)).astype(np.float32) * 0.4
+        base = prototypes[y]
+        # 15% of examples live BETWEEN two class prototypes, with the label
+        # stochastic given the input: x blends prototypes (a, b) with weight
+        # alpha ~ U(0.5, 1) and the label is a w.p. alpha, b otherwise. The
+        # Bayes-optimal posterior there is (alpha, 1-alpha) — no model can
+        # be confidently right, memorization cannot beat the Bayes rate
+        # (labels are genuinely random given everything), and near
+        # alpha ~ 0.5 a converged model must emit small margins, so MC
+        # weight draws genuinely flip predictions (nonzero acc_std — the
+        # reference's uncertainty proxy, `examples/bert_glue.py:185-186`).
+        # A fully separable stand-in degenerates all uncertainty metrics to
+        # zero (measured on-chip: margins quantize to +-5.6 while MOPED
+        # draw-jitter is 0.05-0.2; logs/probe_draws.log).
+        mixed = rng.random(n) < 0.15
+        b = (y + rng.integers(1, 10, n)) % 10
+        alpha = rng.uniform(0.5, 1.0, n).astype(np.float32)
+        blend = alpha[:, None] * prototypes[y] + (1 - alpha[:, None]) * prototypes[b]
+        base = np.where(mixed[:, None], blend, base)
+        flip = mixed & (rng.random(n) >= alpha)
+        y = np.where(flip, b, y).astype(np.int32)
+        x = base * 0.6 + rng.uniform(0, 1, (n, 784)).astype(np.float32) * 0.4
         return x.astype(np.float32), y
     x_train, y_train = make(12_800)
     x_test, y_test = make(2_560)

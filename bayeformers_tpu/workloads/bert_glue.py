@@ -101,15 +101,30 @@ def load_glue(data_path: str | None, vocab_size: int, seed: int = 0,
             # single signal token washes out through 12 random layers; the
             # reference's recipes presume pretrained weights)
             ids[:, 1:9] = (4 + labels * 7)[:, None]
-            # 12% of examples carry NO signal (evidence-free, label is pure
-            # chance): the model must sit near the decision boundary there,
-            # so the Bayesian phases' uncertainty metrics (acc_std, ECE,
-            # predictive entropy) are exercised for real instead of
-            # degenerating to zero on a perfectly separable stand-in
-            noise_ids = rng.integers(4, vocab_size, (n, 8))
+            # 12% of examples are drawn from 8 AMBIGUOUS TEMPLATES: the
+            # signal block interleaves every label's token symmetrically and
+            # the filler positions are a constant per template, so rows
+            # sharing a template are byte-identical while their gold labels
+            # stay coin flips. The label is then irreducibly ~50/50 given
+            # the input, a converged model must sit AT the decision
+            # boundary, and MC weight draws genuinely flip the argmax —
+            # exercising acc_std / ECE / predictive entropy for real.
+            # Weaker constructions measured on-chip and rejected
+            # (logs/artifact_r3*.log): evidence-free random-token rows leave
+            # a fine-tuned bert-base overconfident (acc_std = 0 at delta
+            # 0.05 AND 0.2), and per-row random fillers let the model
+            # memorize each ambiguous row through its unique filler tokens.
             ambiguous = rng.random(n) < 0.12
+            conf_tokens = 4 + (np.arange(8)[None, :] % n_labels) * 7
             ids[:, 1:9] = np.where(
-                ambiguous[:, None], noise_ids, ids[:, 1:9]
+                ambiguous[:, None], conf_tokens, ids[:, 1:9]
+            )
+            tmpl = rng.integers(0, 8, n)
+            filler = np.broadcast_to(
+                (vocab_size - 1 - tmpl)[:, None], (n, MAX_SEQ - 9)
+            )
+            ids[:, 9:] = np.where(
+                ambiguous[:, None], filler, ids[:, 9:]
             )
         return {
             "input_ids": jnp.asarray(ids, jnp.int32),
