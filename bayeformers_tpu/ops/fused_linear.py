@@ -110,9 +110,9 @@ def _kernel(k_act, n_act, prior, save_w, seed_ref, off_ref, x_ref, mu_ref,
     # single write-back per (s, j) hands the backward pass W for free —
     # ~6x cheaper than regenerating 850M normals (measured).
     if prior[0] == "gaussian":
-        pmu_ref, o_ref, logq_ref, logp_ref, w_raw = rest
+        pmu_ref, o_ref, logq_ref, logp_ref, ls_ref, w_raw = rest
     else:
-        o_ref, logq_ref, logp_ref, w_raw = rest
+        o_ref, logq_ref, logp_ref, ls_ref, w_raw = rest
     w_ref = w_raw.at[0] if save_w else w_raw
     j = pl.program_id(0)
     s = pl.program_id(1)
@@ -121,6 +121,44 @@ def _kernel(k_act, n_act, prior, save_w, seed_ref, off_ref, x_ref, mu_ref,
     UK, UN = common.UNIT_K, common.UNIT_N
     # Global unit offsets (tensor-parallel shards; zero when unsharded).
     off_k, off_n = off_ref[0], off_ref[1]
+
+    # sum(log sigma) is sample-independent: accumulate it once (first
+    # sample, first batch tile) per column tile while rho is resident in
+    # VMEM - the XLA wrapper previously paid a full extra HBM pass over
+    # rho (plus ~85M log+softplus VPU ops at BERT-base) every step for it.
+    @pl.when(jnp.logical_and(i == 0, s == 0))
+    def _logsig():
+        t_ls = jnp.zeros((), jnp.float32)
+        for c in range(kp // UK):
+            for t in range(bn // UN):
+                rows = slice(c * UK, (c + 1) * UK)
+                cols = slice(t * UN, (t + 1) * UN)
+                ls = jnp.log(jax.nn.softplus(rho_ref[rows, cols]))
+                aligned = (kp == k_act) and (
+                    pl.num_programs(0) * bn == n_act
+                )
+                if not aligned:
+                    r_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 0)
+                        + c * UK
+                    )
+                    c_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 1)
+                        + j * bn + t * UN
+                    )
+                    ls = jnp.where(
+                        (r_idx < k_act) & (c_idx < n_act), ls,
+                        jnp.zeros_like(ls),
+                    )
+                t_ls += jnp.sum(ls)
+
+        @pl.when(j == 0)
+        def _init_ls():
+            ls_ref[0, 0] = t_ls
+
+        @pl.when(j > 0)
+        def _acc_ls():
+            ls_ref[0, 0] += t_ls
 
     @pl.when(i == 0)
     def _regen_and_logprob():
@@ -283,11 +321,13 @@ def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((S, 1), lambda j, s, i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((S, 1), lambda j, s, i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda j, s, i: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((S, Mp, Np), x.dtype),
         jax.ShapeDtypeStruct((S, 1), jnp.float32),
         jax.ShapeDtypeStruct((S, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
     ]
     scratch_shapes = []
     if save_w:
@@ -313,13 +353,14 @@ def _pallas_bayes_linear(x, mu, rho, seeds, prior_mu, prior: tuple,
         ),
     )(*inputs)
     y, logq, logp = outs[0][:, :M, :N], outs[1][:, 0], outs[2][:, 0]
-    # add the sample-independent log-prob constants (see kernel comment)
+    # add the sample-independent log-prob constants (sum log sigma comes
+    # from the kernel's in-VMEM accumulation - no extra rho pass)
     n_elems = K * N
-    logq = logq - jnp.sum(jnp.log(jax.nn.softplus(rho))) - n_elems * LOG_SQRT_2PI
+    logq = logq - outs[3][0, 0] - n_elems * LOG_SQRT_2PI
     if prior[0] in ("gaussian", "gaussian_on_mu"):
         logp = logp - n_elems * (LOG_SQRT_2PI + math.log(MOPED_PRIOR_SIGMA))
     if save_w:
-        return y, logq, logp, outs[3][:, :K, :N]
+        return y, logq, logp, outs[4][:, :K, :N]
     return y, logq, logp
 
 
@@ -371,11 +412,11 @@ def _ktall_bk(kp: int, np_: int, m: int, x_bytes: int, w_bytes: int):
 def _ktall_kernel(k_act, n_act, prior, save_w, seed_ref, off_ref, x_ref,
                   mu_ref, rho_ref, *rest):
     if prior[0] == "gaussian":
-        pmu_ref, o_ref, logq_ref, logp_ref = rest[:4]
-        rest = rest[4:]
+        pmu_ref, o_ref, logq_ref, logp_ref, ls_ref = rest[:5]
+        rest = rest[5:]
     else:
-        o_ref, logq_ref, logp_ref = rest[:3]
-        rest = rest[3:]
+        o_ref, logq_ref, logp_ref, ls_ref = rest[:4]
+        rest = rest[4:]
     w_raw = rest[0]
     acc_ref = rest[1] if len(rest) > 1 else None  # bf16 o: separate f32 acc
     w_ref = w_raw.at[0] if save_w else w_raw
@@ -384,6 +425,42 @@ def _ktall_kernel(k_act, n_act, prior, save_w, seed_ref, off_ref, x_ref,
     bk, np_pad = w_ref.shape
     UK, UN = common.UNIT_K, common.UNIT_N
     off_k, off_n = off_ref[0], off_ref[1]
+
+    # sum(log sigma): once per K-block, first sample only (see _kernel)
+    @pl.when(s == 0)
+    def _logsig():
+        t_ls = jnp.zeros((), jnp.float32)
+        for c in range(bk // UK):
+            for t in range(np_pad // UN):
+                rows = slice(c * UK, (c + 1) * UK)
+                cols = slice(t * UN, (t + 1) * UN)
+                c_abs = kk * (bk // UK) + c
+                ls = jnp.log(jax.nn.softplus(rho_ref[rows, cols]))
+                aligned = (pl.num_programs(1) * bk == k_act) and (
+                    np_pad == n_act
+                )
+                if not aligned:
+                    r_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 0)
+                        + c_abs * UK
+                    )
+                    c_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 1)
+                        + t * UN
+                    )
+                    ls = jnp.where(
+                        (r_idx < k_act) & (c_idx < n_act), ls,
+                        jnp.zeros_like(ls),
+                    )
+                t_ls += jnp.sum(ls)
+
+        @pl.when(kk == 0)
+        def _init_ls():
+            ls_ref[0, 0] = t_ls
+
+        @pl.when(kk > 0)
+        def _acc_ls():
+            ls_ref[0, 0] += t_ls
 
     t_q = jnp.zeros((), jnp.float32)
     t_p = jnp.zeros((), jnp.float32)
@@ -501,11 +578,13 @@ def _pallas_bayes_linear_ktall(x, mu, rho, seeds, prior_mu, prior: tuple,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((S, 1), lambda s, kk: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((S, 1), lambda s, kk: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda s, kk: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((S, Mp, Np), x.dtype),
         jax.ShapeDtypeStruct((S, 1), jnp.float32),
         jax.ShapeDtypeStruct((S, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
     ]
     scratch_shapes = []
     if save_w:
@@ -534,11 +613,11 @@ def _pallas_bayes_linear_ktall(x, mu, rho, seeds, prior_mu, prior: tuple,
     )(*inputs)
     y, logq, logp = outs[0][:, :M, :N], outs[1][:, 0], outs[2][:, 0]
     n_elems = K * N
-    logq = logq - jnp.sum(jnp.log(jax.nn.softplus(rho))) - n_elems * LOG_SQRT_2PI
+    logq = logq - outs[3][0, 0] - n_elems * LOG_SQRT_2PI
     if prior[0] in ("gaussian", "gaussian_on_mu"):
         logp = logp - n_elems * (LOG_SQRT_2PI + math.log(MOPED_PRIOR_SIGMA))
     if save_w:
-        return y, logq, logp, outs[3][:, :K, :N]
+        return y, logq, logp, outs[4][:, :K, :N]
     return y, logq, logp
 
 
@@ -557,15 +636,50 @@ def _pallas_bayes_linear_ktall(x, mu, rho, seeds, prior_mu, prior: tuple,
 def _anti_kernel(k_act, n_act, prior, save_w, seed_ref, off_ref, x_ref,
                  mu_ref, rho_ref, *rest):
     if prior[0] == "gaussian":
-        pmu_ref, o_ref, logq_ref, logp_ref, w_ref = rest
+        pmu_ref, o_ref, logq_ref, logp_ref, ls_ref, w_ref = rest
     else:
-        o_ref, logq_ref, logp_ref, w_ref = rest
+        o_ref, logq_ref, logp_ref, ls_ref, w_ref = rest
     j = pl.program_id(0)
     s2 = pl.program_id(1)
     i = pl.program_id(2)
     _, kp, bn = w_ref.shape
     UK, UN = common.UNIT_K, common.UNIT_N
     off_k, off_n = off_ref[0], off_ref[1]
+
+    # sum(log sigma): once per column tile, first pair only (see _kernel)
+    @pl.when(jnp.logical_and(i == 0, s2 == 0))
+    def _logsig():
+        t_ls = jnp.zeros((), jnp.float32)
+        for c in range(kp // UK):
+            for t in range(bn // UN):
+                rows = slice(c * UK, (c + 1) * UK)
+                cols = slice(t * UN, (t + 1) * UN)
+                ls = jnp.log(jax.nn.softplus(rho_ref[rows, cols]))
+                aligned = (kp == k_act) and (
+                    pl.num_programs(0) * bn == n_act
+                )
+                if not aligned:
+                    r_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 0)
+                        + c * UK
+                    )
+                    c_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 1)
+                        + j * bn + t * UN
+                    )
+                    ls = jnp.where(
+                        (r_idx < k_act) & (c_idx < n_act), ls,
+                        jnp.zeros_like(ls),
+                    )
+                t_ls += jnp.sum(ls)
+
+        @pl.when(j == 0)
+        def _init_ls():
+            ls_ref[0, 0] = t_ls
+
+        @pl.when(j > 0)
+        def _acc_ls():
+            ls_ref[0, 0] += t_ls
 
     @pl.when(i == 0)
     def _regen_and_logprob():
@@ -691,11 +805,13 @@ def _pallas_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((S, 1), lambda j, s2, i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((S, 1), lambda j, s2, i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda j, s2, i: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((S, Mp, Np), x.dtype),
         jax.ShapeDtypeStruct((S, 1), jnp.float32),
         jax.ShapeDtypeStruct((S, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
     ]
     scratch_shapes = []
     if save_w:
@@ -723,11 +839,304 @@ def _pallas_bayes_linear_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple,
     y = outs[0][:, :M, :N]
     logq, logp = outs[1][:, 0], outs[2][:, 0]
     n_elems = K * N
-    logq = logq - jnp.sum(jnp.log(jax.nn.softplus(rho))) - n_elems * LOG_SQRT_2PI
+    logq = logq - outs[3][0, 0] - n_elems * LOG_SQRT_2PI
     if prior[0] in ("gaussian", "gaussian_on_mu"):
         logp = logp - n_elems * (LOG_SQRT_2PI + math.log(MOPED_PRIOR_SIGMA))
     if save_w:
-        return y, logq, logp, outs[3][:, :K, :N]
+        return y, logq, logp, outs[4][:, :K, :N]
+    return y, logq, logp
+
+
+# ---------------------------------------------------------------------------
+# Paired-antithetic K-tall variant (FFN down-projection shapes). The fullk
+# pair kernel above is VMEM-starved to bn=128 / bm=128 at K=3072, which
+# re-reads the (2, Mp, Kp) activation pair 6x; here the (2, Mp, bn) output
+# stays resident in f32 across the K-block sweep (grid (s2, jn, kk), kk
+# innermost) so x is read only Np/bn (=2)x and each weight tile is
+# regenerated exactly once per pair. y is emitted f32 and downcast in the
+# wrapper - the downcast fuses into the consumer elementwise (bias+residual
+# +LayerNorm), costing one extra f32 stream vs a resident-accumulator pair
+# that would not fit VMEM. sum(log sigma) is accumulated in-kernel on the
+# first pair (s2 == 0), saving the wrapper's per-step XLA pass over rho.
+# ---------------------------------------------------------------------------
+
+
+def _ktall_anti_tiles(kp: int, np_: int, m: int, n_arr: int, x_bytes: int,
+                      w_bytes: int):
+    """(bk, bn) for the paired K-tall kernel; None if the route is off.
+
+    Objective: fewest x re-reads (max bn), then fewest grid steps (max bk).
+    VMEM model: resident (2, Mp, bn) f32 output, double-buffered x pair and
+    weight blocks, w pair out/scratch, eps-unit temps.
+    """
+    if kp < KTALL_MIN_K:
+        return None
+    limit = (
+        int(os.environ.get("BAYEFORMERS_VMEM_LIMIT_MB", "0")) * (1 << 20)
+        or VMEM_LIMIT
+    )
+    mp = common.round_up(m, 8)
+    bns = [b for b in range(np_, 127, -128) if np_ % b == 0 and b % 128 == 0]
+    for bn in bns:
+        if 2 * mp * bn * 4 > 2 * KTALL_MAX_ACC:
+            continue
+        for bk in (512, 256):
+            if kp % bk:
+                continue
+            est = (
+                2 * mp * bn * 4                  # resident f32 o pair
+                + x_bytes * 2 * mp * bk * 2      # x pair block, double-buffered
+                + 4 * n_arr * bk * bn * 2        # mu, rho [, pmu] blocks
+                + w_bytes * 2 * bk * bn * 2      # w pair out/scratch
+                + TEMPS_BYTES
+            )
+            # 1.35: Mosaic's actual scoped-vmem stack for this kernel runs
+            # ~1.24x the naive block-sum (measured 16.30M vs 13.11M modeled
+            # at bk=512/bn=384 in the full bf16 train step) - the fatter
+            # fudge demotes the recipe shape to bk=256, which compiles with
+            # ~5M headroom
+            if est * 1.35 <= limit:
+                return bk, bn
+    return None
+
+
+def _ktall_anti_route(x, mu, prior: tuple):
+    kp, np_ = _pad_kn(x.shape[-1], mu.shape[1])
+    w_bytes = jnp.dtype(_w_dtype(x.dtype)).itemsize
+    return _ktall_anti_tiles(
+        kp, np_, x.shape[1], _n_weight_arrays(prior), x.dtype.itemsize,
+        w_bytes,
+    )
+
+
+def _ktall_anti_kernel(k_act, n_act, prior, save_w, seed_ref, off_ref, x_ref,
+                       mu_ref, rho_ref, *rest):
+    if prior[0] == "gaussian":
+        pmu_ref, o_ref, logq_ref, logp_ref, ls_ref, w_ref = rest
+    else:
+        o_ref, logq_ref, logp_ref, ls_ref, w_ref = rest
+    s2 = pl.program_id(0)
+    jn = pl.program_id(1)
+    kk = pl.program_id(2)
+    _, bk, bn = w_ref.shape
+    UK, UN = common.UNIT_K, common.UNIT_N
+    off_k, off_n = off_ref[0], off_ref[1]
+
+    first = jnp.logical_and(jn == 0, kk == 0)
+
+    # sum(log sigma) is pair-independent: compute on the first pair only
+    # (a guarded separate pass so the log chain is skipped for s2 > 0)
+    @pl.when(s2 == 0)
+    def _logsig():
+        t_ls = jnp.zeros((), jnp.float32)
+        for c in range(bk // UK):
+            for t in range(bn // UN):
+                rows = slice(c * UK, (c + 1) * UK)
+                cols = slice(t * UN, (t + 1) * UN)
+                c_abs = kk * (bk // UK) + c
+                ls = jnp.log(jax.nn.softplus(rho_ref[rows, cols]))
+                aligned = (pl.num_programs(2) * bk == k_act) and (
+                    pl.num_programs(1) * bn == n_act
+                )
+                if not aligned:
+                    r_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 0)
+                        + c_abs * UK
+                    )
+                    c_idx = (
+                        jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 1)
+                        + jn * bn + t * UN
+                    )
+                    ls = jnp.where(
+                        (r_idx < k_act) & (c_idx < n_act), ls,
+                        jnp.zeros_like(ls),
+                    )
+                t_ls += jnp.sum(ls)
+
+        @pl.when(first)
+        def _init_ls():
+            ls_ref[0, 0] = t_ls
+
+        @pl.when(jnp.logical_not(first))
+        def _acc_ls():
+            ls_ref[0, 0] += t_ls
+
+    t_q = jnp.zeros((), jnp.float32)
+    t_p0 = jnp.zeros((), jnp.float32)
+    t_p1 = jnp.zeros((), jnp.float32)
+    for c in range(bk // UK):
+        for t in range(bn // UN):
+            rows = slice(c * UK, (c + 1) * UK)
+            cols = slice(t * UN, (t + 1) * UN)
+            c_abs = kk * (bk // UK) + c
+            t_abs = jn * (bn // UN) + t
+            eps = common.unit_eps(seed_ref[s2], t_abs + off_n, c_abs + off_k)
+            mu_u = mu_ref[rows, cols]
+            sigma = jax.nn.softplus(rho_ref[rows, cols])
+            se = sigma * eps
+            w0 = mu_u + se
+            w1 = mu_u - se
+            w_ref[0, rows, cols] = w0.astype(w_ref.dtype)
+            w_ref[1, rows, cols] = w1.astype(w_ref.dtype)
+
+            aligned = (pl.num_programs(2) * bk == k_act) and (
+                pl.num_programs(1) * bn == n_act
+            )
+            if aligned:
+                mask = None
+            else:
+                r_idx = (
+                    jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 0)
+                    + c_abs * UK
+                )
+                c_idx = (
+                    jax.lax.broadcasted_iota(jnp.int32, (UK, UN), 1)
+                    + jn * bn + t * UN
+                )
+                mask = (r_idx < k_act) & (c_idx < n_act)
+            zero = jnp.zeros_like(w0)
+
+            logq_terms = -0.5 * eps * eps  # even in eps: shared by the pair
+            if prior[0] == "gaussian":
+                d = (mu_u - pmu_ref[rows, cols]) / MOPED_PRIOR_SIGMA
+                zs = se / MOPED_PRIOR_SIGMA
+                logp0 = -0.5 * (d + zs) * (d + zs)
+                logp1 = -0.5 * (d - zs) * (d - zs)
+            elif prior[0] == "gaussian_on_mu":
+                zs = se / MOPED_PRIOR_SIGMA
+                logp0 = -0.5 * zs * zs  # even: shared by the pair
+                logp1 = None
+            else:
+                _, pi, s1_, s2_ = prior
+                logp0 = logprob_lib._mixture_log_pdf(w0, pi, s1_, s2_)
+                logp1 = logprob_lib._mixture_log_pdf(w1, pi, s1_, s2_)
+
+            if mask is None:
+                t_q += jnp.sum(logq_terms)
+                t_p0 += jnp.sum(logp0)
+                if logp1 is not None:
+                    t_p1 += jnp.sum(logp1)
+            else:
+                t_q += jnp.sum(jnp.where(mask, logq_terms, zero))
+                t_p0 += jnp.sum(jnp.where(mask, logp0, zero))
+                if logp1 is not None:
+                    t_p1 += jnp.sum(jnp.where(mask, logp1, zero))
+    if prior[0] == "gaussian_on_mu":
+        t_p1 = t_p0
+
+    @pl.when(first)
+    def _init_kl():
+        logq_ref[2 * s2, 0] = t_q
+        logq_ref[2 * s2 + 1, 0] = t_q
+        logp_ref[2 * s2, 0] = t_p0
+        logp_ref[2 * s2 + 1, 0] = t_p1
+
+    @pl.when(jnp.logical_not(first))
+    def _acc_kl():
+        logq_ref[2 * s2, 0] += t_q
+        logq_ref[2 * s2 + 1, 0] += t_q
+        logp_ref[2 * s2, 0] += t_p0
+        logp_ref[2 * s2 + 1, 0] += t_p1
+
+    dt = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else config.dot_dtype()
+    prec = config.kernel_dot_precision(dt)
+    for half in range(2):
+        partial = jnp.dot(
+            x_ref[half].astype(dt), w_ref[half].astype(dt),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+        @pl.when(kk == 0)
+        def _init(half=half, partial=partial):
+            o_ref[half] = partial
+
+        @pl.when(kk > 0)
+        def _acc(half=half, partial=partial):
+            o_ref[half] += partial
+
+
+def _pallas_bayes_linear_ktall_anti(x, mu, rho, seeds_half, prior_mu,
+                                    prior: tuple, bk: int, bn: int,
+                                    save_w: bool = False, offsets=None):
+    S, M, K = x.shape
+    S2 = S // 2
+    _, N = mu.shape
+    Kp, Np = _pad_kn(K, N)
+    w_dtype = _w_dtype(x.dtype)
+    Mp = common.round_up(M, 8)
+    xp = jnp.pad(x, ((0, 0), (0, Mp - M), (0, Kp - K)))
+    mup = jnp.pad(mu, ((0, Kp - K), (0, Np - N)))
+    rhop = jnp.pad(rho, ((0, Kp - K), (0, Np - N)))
+    grid = (S2, Np // bn, Kp // bk)
+
+    weight_spec = pl.BlockSpec(
+        (bk, bn), lambda s2, jn, kk: (kk, jn), memory_space=pltpu.VMEM
+    )
+    inputs = [
+        seeds_half.astype(jnp.int32), _unit_offsets(offsets), xp, mup, rhop
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((2, Mp, bk), lambda s2, jn, kk: (s2, 0, kk),
+                     memory_space=pltpu.VMEM),
+        weight_spec,
+        weight_spec,
+    ]
+    if prior[0] == "gaussian":
+        inputs.append(jnp.pad(prior_mu, ((0, Kp - K), (0, Np - N))))
+        in_specs.append(weight_spec)
+
+    out_specs = [
+        # f32 output doubles as the K-sweep accumulator (resident per (s2, jn))
+        pl.BlockSpec((2, Mp, bn), lambda s2, jn, kk: (s2, 0, jn),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, 1), lambda s2, jn, kk: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((S, 1), lambda s2, jn, kk: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda s2, jn, kk: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((S, Mp, Np), jnp.float32),
+        jax.ShapeDtypeStruct((S, 1), jnp.float32),
+        jax.ShapeDtypeStruct((S, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    ]
+    scratch_shapes = []
+    if save_w:
+        out_specs.append(
+            pl.BlockSpec((2, bk, bn), lambda s2, jn, kk: (s2, kk, jn),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((S, Kp, Np), w_dtype))
+    else:
+        scratch_shapes.append(pltpu.VMEM((2, bk, bn), w_dtype))
+
+    outs = pl.pallas_call(
+        functools.partial(_ktall_anti_kernel, K, N, prior, save_w),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * Mp * Kp * Np,
+            bytes_accessed=4 * (
+                (Np // bn) * S * Mp * Kp + 2 * Kp * Np + S * Mp * Np
+            ),
+            transcendentals=S2 * Kp * Np * 4,
+        ),
+    )(*inputs)
+    y = outs[0][:, :M, :N].astype(x.dtype)
+    logq, logp = outs[1][:, 0], outs[2][:, 0]
+    n_elems = K * N
+    logq = logq - outs[3][0, 0] - n_elems * LOG_SQRT_2PI
+    if prior[0] in ("gaussian", "gaussian_on_mu"):
+        logp = logp - n_elems * (LOG_SQRT_2PI + math.log(MOPED_PRIOR_SIGMA))
+    if save_w:
+        return y, logq, logp, outs[4][:, :K, :N]
     return y, logq, logp
 
 
@@ -984,6 +1393,12 @@ def _anti_tiles(x, mu, prior: tuple):
 def _impl_anti(x, mu, rho, seeds_half, prior_mu, prior: tuple, save_w: bool,
                offsets=None):
     if split_lib.use_pallas():
+        kt = _ktall_anti_route(x, mu, prior)
+        if kt is not None:
+            return _pallas_bayes_linear_ktall_anti(
+                x, mu, rho, seeds_half, prior_mu, prior, *kt, save_w=save_w,
+                offsets=offsets,
+            )
         tiles = _anti_tiles(x, mu, prior)
         if tiles is not None:
             return _pallas_bayes_linear_anti(
@@ -1014,7 +1429,10 @@ def _fwd_anti(x, mu, rho, seeds_half, offsets, prior_mu, prior):
 
 def _bwd_anti(prior, res, cotangents):
     x, mu, rho, seeds_half, offsets, prior_mu = res
-    if split_lib.use_pallas() and _anti_tiles(x, mu, prior) is not None:
+    if split_lib.use_pallas() and (
+        _ktall_anti_route(x, mu, prior) is not None
+        or _anti_tiles(x, mu, prior) is not None
+    ):
         w = _regen_anti(mu, rho, seeds_half, offsets)
     else:
         w = interleave_antithetic(

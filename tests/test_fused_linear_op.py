@@ -162,3 +162,21 @@ def test_kernel_routing_covers_bert_large_shapes():
     # contract holds across kernels)
     for K in (1024, 4096):
         assert common.round_up(K, common.UNIT_K) % common.UNIT_K == 0
+
+
+def test_anti_ktall_routing_and_fit_model():
+    """The paired K-tall route must take the BERT-base FFN down-projection
+    (3072->768) at the GLUE training batch for both dtypes, stay off for
+    full-K shapes, and stay off when the resident output pair exceeds the
+    VMEM model (SQuAD M=4992 falls back to the full-K pair kernel)."""
+    M = 1024  # batch 8 x seq 128
+    t = fl._ktall_anti_tiles(3072, 768, M, 2, x_bytes=2, w_bytes=2)
+    assert t is not None
+    bk, bn = t
+    assert 3072 % bk == 0 and 768 % bn == 0 and bn % 128 == 0
+    assert fl._ktall_anti_tiles(3072, 768, M, 2, x_bytes=4, w_bytes=4) is not None
+    # full-K shapes (attention 768x768, FFN up 768->3072) are not K-tall
+    assert fl._ktall_anti_tiles(768, 768, M, 2, 2, 2) is None
+    assert fl._ktall_anti_tiles(768, 3072, M, 2, 2, 2) is None
+    # SQuAD chunked shape: the x pair block alone exceeds the model -> off
+    assert fl._ktall_anti_tiles(3072, 768, 13 * 384, 2, 2, 2) is None

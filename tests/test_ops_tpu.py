@@ -323,8 +323,12 @@ def test_antithetic_kernel_parity(K, N):
     rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
     seeds = jnp.arange(1, S // 2 + 1, dtype=jnp.int32)
 
-    # the paired route must actually be taken for these shapes
-    assert fl._anti_tiles(x, mu, ("gaussian_on_mu",)) is not None
+    # the paired route must actually be taken for these shapes; K-tall
+    # layers land on the paired K-tall kernel (resident-output, 2x x-reads)
+    if K >= fl.KTALL_MIN_K:
+        assert fl._ktall_anti_route(x, mu, ("gaussian_on_mu",)) is not None
+    else:
+        assert fl._anti_tiles(x, mu, ("gaussian_on_mu",)) is not None
 
     y, lq, lp = fl.bayes_linear(
         x, mu, rho, seeds, prior_on_mu=True, antithetic=True,
