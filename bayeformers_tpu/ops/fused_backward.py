@@ -199,6 +199,131 @@ def _pallas_reduce(x, g, w, mu, g_p, tiles, mixture, want_u: bool = True):
     return outs[0], outs[1], None, outs[2]
 
 
+def _kernel_anti(mixture, want_u, x_ref, g_ref, w_ref, mu_ref, gp_ref, *rest):
+    """Paired-antithetic variant of :func:`_kernel`.
+
+    One grid step processes a full ± pair: the odd member's weights are
+    never read — ``w1 - mu = -(w0 - mu)`` turns every accumulator into a
+    ±-combination of the even member's centered weights, halving the W
+    residual traffic (the dominant non-x/g stream of the reduce).
+    """
+    if want_u:
+        a_out, b_out, u_out, v_out, a_acc, b_acc, u_acc, v_acc = rest
+    else:
+        a_out, b_out, v_out, a_acc, b_acc, v_acc = rest
+        u_out = u_acc = None
+    s2 = pl.program_id(2)
+    i = pl.program_id(3)
+    ns = pl.num_programs(2)
+    ni = pl.num_programs(3)
+
+    @pl.when(jnp.logical_and(s2 == 0, i == 0))
+    def _zero():
+        a_acc[:] = jnp.zeros_like(a_acc)
+        b_acc[:] = jnp.zeros_like(b_acc)
+        v_acc[:] = jnp.zeros_like(v_acc)
+        if want_u:
+            u_acc[:] = jnp.zeros_like(u_acc)
+
+    from bayeformers_tpu.ops import config as _config
+
+    prec = _config.kernel_dot_precision(x_ref.dtype)
+    p0 = jax.lax.dot_general(
+        x_ref[0], g_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    p1 = jax.lax.dot_general(
+        x_ref[1], g_ref[1], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    wc = w_ref[0] - mu_ref[:]  # = sigma * eps of the even member
+    a_acc[:] += p0 + p1
+    b_acc[:] += (p0 - p1) * wc
+
+    @pl.when(i == 0)
+    def _prior_acc():
+        gp0 = gp_ref[2 * s2]
+        gp1 = gp_ref[2 * s2 + 1]
+        if mixture is None:
+            if want_u:
+                u_acc[:] += (gp0 - gp1) * wc
+            v_acc[:] += (gp0 + gp1) * (wc * wc)
+        else:
+            score0 = logprob_lib._mixture_score(w_ref[0], *mixture)
+            score1 = logprob_lib._mixture_score(mu_ref[:] - wc, *mixture)
+            u_acc[:] += gp0 * score0 + gp1 * score1
+            v_acc[:] += (gp0 * score0 - gp1 * score1) * wc
+
+    @pl.when(jnp.logical_and(s2 == ns - 1, i == ni - 1))
+    def _finalize():
+        a_out[:] = a_acc[:]
+        b_out[:] = b_acc[:]
+        v_out[:] = v_acc[:]
+        if want_u:
+            u_out[:] = u_acc[:]
+
+
+def _pallas_reduce_anti(x, g, w, mu, g_p, tiles, mixture,
+                        want_u: bool = True):
+    """Paired reduce over an interleaved antithetic batch: returns the same
+    (A, B, U, V) as :func:`_pallas_reduce` while fetching only the EVEN
+    sample blocks of ``w`` (index map 2*s) — the odd members are implied by
+    w1 - mu = -(w0 - mu), so half the residual's weight traffic is never
+    read. x/g pair members are read straight out of the interleaved
+    (S, M, .) arrays with sample-dim blocks of 2 — never reshape to a
+    (S/2, 2, ...) XLA array: every dot/custom-call consumer of that shape
+    materializes its own copy (measured ~0.6 ms x 12 layers per such copy
+    at BERT-base recipe shapes)."""
+    S, M, K = x.shape
+    S2 = S // 2
+    _, N = mu.shape
+    bk, bn, bm = tiles
+    mp = -(-M // bm) * bm
+    kp = -(-K // 128) * 128
+    np_ = -(-N // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (0, mp - M), (0, kp - K)))
+    gp_arr = jnp.pad(g, ((0, 0), (0, mp - M), (0, np_ - N)))
+    wp = jnp.pad(w, ((0, 0), (0, kp - K), (0, np_ - N)))
+    mup = jnp.pad(mu, ((0, kp - K), (0, np_ - N)))
+
+    n_out = 4 if want_u else 3
+    grid = (kp // bk, np_ // bn, S2, mp // bm)
+    out_spec = pl.BlockSpec((bk, bn), lambda jk, jn, s, i: (jk, jn),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel_anti, mixture, want_u),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, bm, bk), lambda jk, jn, s, i: (s, i, jk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bm, bn), lambda jk, jn, s, i: (s, i, jn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bn), lambda jk, jn, s, i: (2 * s, jk, jn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda jk, jn, s, i: (jk, jn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(out_spec,) * n_out,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((kp, np_), jnp.float32) for _ in range(n_out)
+        ),
+        scratch_shapes=[pltpu.VMEM((bk, bn), jnp.float32) for _ in range(n_out)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * mp * kp * np_,
+            bytes_accessed=4 * (
+                S * mp * kp * (np_ // bn) + S * mp * np_ * (kp // bk)
+                + S2 * kp * np_
+            ),
+            transcendentals=0,
+        ),
+    )(xp, gp_arr, wp, mup, g_p.astype(jnp.float32))
+    outs = tuple(o[:K, :N] for o in outs)
+    if want_u:
+        return outs
+    return outs[0], outs[1], None, outs[2]
+
+
 def _xla_reduce(x, g, w, mu, g_p, mixture):
     """Reference/fallback path: same four accumulators via dense XLA (the
     (S, K, N) dw intermediate exists here; used off-TPU and for parity)."""
@@ -217,6 +342,56 @@ def _xla_reduce(x, g, w, mu, g_p, mixture):
         u = jnp.sum(gp * score, axis=0)
         v = jnp.sum(gp * score * wc, axis=0)
     return a, b, u, v
+
+
+def _xla_reduce_anti(x, g, w, mu, g_p, mixture):
+    """Fallback paired reduce (off-TPU and parity): explicit ±-combination
+    of the even member's accumulators — see :func:`_kernel_anti`."""
+    f32 = jnp.float32
+    S, M, K = x.shape
+    S2 = S // 2
+    N = mu.shape[1]
+    w0 = w[0::2]
+    x2 = x.reshape(S2, 2, M, K)
+    g2 = g.reshape(S2, 2, M, N)
+    dw0 = jnp.einsum("tmk,tmn->tkn", x2[:, 0].astype(f32),
+                     g2[:, 0].astype(f32), preferred_element_type=f32)
+    dw1 = jnp.einsum("tmk,tmn->tkn", x2[:, 1].astype(f32),
+                     g2[:, 1].astype(f32), preferred_element_type=f32)
+    wc = w0.astype(f32) - mu[None]
+    a = jnp.sum(dw0 + dw1, axis=0)
+    b = jnp.sum((dw0 - dw1) * wc, axis=0)
+    gp2 = g_p.reshape(S2, 2).astype(f32)
+    gp0 = gp2[:, 0, None, None]
+    gp1 = gp2[:, 1, None, None]
+    if mixture is None:
+        u = jnp.sum((gp0 - gp1) * wc, axis=0)
+        v = jnp.sum((gp0 + gp1) * wc * wc, axis=0)
+    else:
+        score0 = logprob_lib._mixture_score(mu[None] + wc, *mixture)
+        score1 = logprob_lib._mixture_score(mu[None] - wc, *mixture)
+        u = jnp.sum(gp0 * score0 + gp1 * score1, axis=0)
+        v = jnp.sum((gp0 * score0 - gp1 * score1) * wc, axis=0)
+    return a, b, u, v
+
+
+def reduce_abuv_anti(x, g, w, mu, g_p, mixture=None, want_u: bool = True):
+    """(A, B, U, V) for an antithetic batch: ``x``/``g``/``w`` carry all S
+    samples (pair-interleaved, even index = the + member); only the even
+    members' weights are ever read. Same contract as :func:`reduce_abuv`."""
+    from bayeformers_tpu.ops import sampled_linear as split_lib
+
+    S, M, K = x.shape
+    kp = -(-K // 128) * 128
+    np_ = -(-mu.shape[1] // 128) * 128
+    if split_lib.use_pallas():
+        n_acc = 4 if want_u else 3
+        tiles = pick_tiles(kp, np_, M, S // 2, x_bytes=2 * x.dtype.itemsize,
+                           n_acc=n_acc)
+        if tiles is not None:
+            return _pallas_reduce_anti(x, g, w, mu, g_p, tiles, mixture,
+                                       want_u)
+    return _xla_reduce_anti(x, g, w, mu, g_p, mixture)
 
 
 def reduce_abuv(x, g, w, mu, g_p, mixture=None, want_u: bool = True):

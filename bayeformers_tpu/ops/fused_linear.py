@@ -1368,14 +1368,47 @@ _bayes_linear_saved.defvjp(_fwd_saved, _bwd_saved)
 
 
 # ---------------------------------------------------------------------------
-# Antithetic custom VJPs. Backward is _bwd_common unchanged: odd samples are
-# exact reparametrized draws at eps' = -eps, and backward reconstructs eps
-# from (w - mu)/sigma, so the pair's gradients fall out of the same algebra.
+# Antithetic custom VJPs. Odd samples are exact reparametrized draws at
+# eps' = -eps, i.e. w1 = 2mu - w0 and (w1 - mu) = -(w0 - mu), so the
+# dmu/drho reductions only ever need the even members' weights: every
+# accumulator is a ±-combination of the even member's centered weights
+# (reduce_abuv_anti reads only the even sample blocks of the residual —
+# half the reduce's weight traffic). dx keeps XLA's batched matmul over the
+# full pair: it is already at roofline, and both a paired Pallas dx kernel
+# (NT-form tile transposes) and a shared-mu-matmul XLA reformulation
+# measured slower at recipe shapes.
 # ---------------------------------------------------------------------------
 
 
 def _regen_anti(mu, rho, seeds_half, offsets=None):
     return interleave_antithetic(_regen(mu, rho, seeds_half, offsets), mu)
+
+
+def _bwd_common_anti(prior, x, mu, rho, prior_mu, w, seeds_half, offsets,
+                     cotangents):
+    """Antithetic backward: full-pair ``w`` for dx, even-members-only
+    weight reads for the dmu/drho reduce (see block comment above)."""
+    g_y, g_q, g_p = cotangents
+
+    dt = x.dtype if x.dtype == jnp.bfloat16 else config.dot_dtype()
+    f32 = jnp.float32
+    dx = jnp.einsum(
+        "smn,skn->smk", g_y.astype(dt), w.astype(dt),
+        preferred_element_type=f32,
+    ).astype(x.dtype)
+
+    mixture = prior[1:] if prior[0] == "mixture" else None
+    a, b, u, v = bwd_lib.reduce_abuv_anti(
+        x, g_y.astype(x.dtype), w, mu, g_p, mixture=mixture,
+        want_u=prior[0] != "gaussian_on_mu",
+    )
+    dmu, drho, dprior_mu = bwd_lib.finalize(
+        prior, a, b, u, v, mu, rho, prior_mu, g_q, g_p
+    )
+    if prior[0] != "gaussian":
+        dprior_mu = jnp.zeros_like(prior_mu)
+    dseeds = np.zeros(seeds_half.shape, dtype=jax.dtypes.float0)
+    return dx, dmu, drho, dseeds, _zero_offsets_ct(offsets), dprior_mu
 
 
 def _anti_tiles(x, mu, prior: tuple):
@@ -1438,8 +1471,8 @@ def _bwd_anti(prior, res, cotangents):
         w = interleave_antithetic(
             split_lib.naive_weights(mu, rho, seeds_half, offsets), mu
         )
-    return _bwd_common(prior, x, mu, rho, prior_mu, w, seeds_half, offsets,
-                       cotangents)
+    return _bwd_common_anti(prior, x, mu, rho, prior_mu, w, seeds_half,
+                            offsets, cotangents)
 
 
 _bayes_linear_anti.defvjp(_fwd_anti, _bwd_anti)
@@ -1457,7 +1490,13 @@ def _fwd_saved_anti(x, mu, rho, seeds_half, offsets, prior_mu, prior):
     return (y, lq, lp), (x, mu, rho, prior_mu, w, seeds_half, offsets)
 
 
-_bayes_linear_saved_anti.defvjp(_fwd_saved_anti, _bwd_saved)
+def _bwd_saved_anti(prior, res, cotangents):
+    x, mu, rho, prior_mu, w, seeds_half, offsets = res
+    return _bwd_common_anti(prior, x, mu, rho, prior_mu, w, seeds_half,
+                            offsets, cotangents)
+
+
+_bayes_linear_saved_anti.defvjp(_fwd_saved_anti, _bwd_saved_anti)
 
 
 def bayes_linear(

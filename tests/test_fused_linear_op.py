@@ -180,3 +180,82 @@ def test_anti_ktall_routing_and_fit_model():
     assert fl._ktall_anti_tiles(768, 3072, M, 2, 2, 2) is None
     # SQuAD chunked shape: the x pair block alone exceeds the model -> off
     assert fl._ktall_anti_tiles(3072, 768, 13 * 384, 2, 2, 2) is None
+
+
+def test_anti_half_residual_backward_all_priors():
+    """The paired backward reconstructs the odd member as 2mu - w0 from
+    even-only residuals: grads through the antithetic op must match dense
+    autodiff at the same paired weights for every prior family (gaussian
+    exercises want_u + dprior_mu, mixture the score recombination)."""
+    from bayeformers_tpu.ops import sampled_linear as ops_linear
+
+    rng = np.random.default_rng(11)
+    S, M, K, N = 6, 8, 32, 16
+    x = jnp.asarray(rng.normal(size=(S, M, K)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.1)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+    pm = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.1)
+    seeds = jnp.arange(3, 3 + S // 2, dtype=jnp.int32)
+
+    w_half = ops_linear.naive_weights(mu, rho, seeds)
+    w_pair = fl.interleave_antithetic(w_half, mu)
+
+    for kwargs, prior_fn, has_pm in [
+        (dict(prior_on_mu=True),
+         lambda ws, m: prior_lib.moped_prior_log_prob(ws, m), False),
+        (dict(prior_mu=pm),
+         lambda ws, m: prior_lib.moped_prior_log_prob(ws, pm), True),
+        (dict(mixture=MIX),
+         lambda ws, m: dist.scale_mixture_log_prob(ws, *MIX), False),
+    ]:
+        def loss_op(mu, rho, x):
+            y, lq, lp = fl.bayes_linear(
+                x, mu, rho, seeds, antithetic=True, **kwargs
+            )
+            return jnp.sum(y**2) + 2.0 * jnp.sum(lq) - 3.0 * jnp.sum(lp)
+
+        def loss_ref(mu, rho, x):
+            sigma = dist.sigma_from_rho(rho)
+            eps = jax.lax.stop_gradient((w_pair - mu[None]) / sigma[None])
+            w = mu[None] + sigma[None] * eps
+            y = jnp.einsum("smk,skn->smn", x, w)
+            lq = jnp.stack(
+                [dist.gaussian_log_prob(w[s], mu, sigma) for s in range(S)]
+            )
+            lp = jnp.stack([prior_fn(w[s], mu) for s in range(S)])
+            return jnp.sum(y**2) + 2.0 * jnp.sum(lq) - 3.0 * jnp.sum(lp)
+
+        g_op = jax.grad(loss_op, argnums=(0, 1, 2))(mu, rho, x)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(mu, rho, x)
+        for a, b, name in zip(g_op, g_ref, ("dmu", "drho", "dx")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5,
+                err_msg=(name, next(iter(kwargs))),
+            )
+
+
+def test_anti_saved_residual_pair_structure():
+    """save_weights=True on the antithetic path stores the full interleaved
+    pair with exact ± mirror structure (w_odd = 2mu - w_even) — the paired
+    backward reduce reads only the even members of it."""
+    from bayeformers_tpu.ops import sampled_linear as ops_linear
+
+    rng = np.random.default_rng(12)
+    S, M, K, N = 4, 8, 32, 16
+    x = jnp.asarray(rng.normal(size=(S, M, K)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.1)
+    rho = jnp.asarray(rng.uniform(-5, -4, (K, N)).astype(np.float32))
+    seeds = jnp.arange(S // 2, dtype=jnp.int32)
+
+    out = fl._impl_anti(x, mu, rho, seeds, mu, ("gaussian_on_mu",),
+                        save_w=True)
+    w = out[3]
+    assert w.shape == (S, K, N)
+    np.testing.assert_allclose(
+        np.asarray(w[0::2]),
+        np.asarray(ops_linear.naive_weights(mu, rho, seeds)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(w[1::2]), np.asarray(2 * mu[None] - w[0::2]), rtol=1e-6,
+        atol=1e-7,
+    )
