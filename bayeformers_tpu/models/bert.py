@@ -262,6 +262,11 @@ def build_model(model_name: str, **kwargs) -> ModelBundle:
     """Family dispatch by model name (mirrors the reference's AutoModel use
     with its per-family input handling)."""
     name = model_name.lower()
+    if "gpt2" in name or "gpt-2" in name:
+        from bayeformers_tpu.models.gpt2 import build_gpt2
+
+        kwargs.pop("n_labels", None)
+        return build_gpt2(task=kwargs.pop("task", "causal-lm"), **kwargs)
     if "distilbert" in name:
         return build_distilbert(**kwargs)
     if "roberta" in name or "camembert" in name:

@@ -213,10 +213,20 @@ def fused_mc_apply(
         pair = jnp.stack([a_half, -a_half], axis=1)
         return pair.reshape((-1,) + a_half.shape[1:])
 
-    def handle_dense(mod, x):
+    def handle_dense(mod, x, transposed: bool = False):
+        """``transposed=True``: the module stores its kernel as (out, in) —
+        GPT-2's FlaxConv1D (`modeling_flax_gpt2.FlaxConv1D` computes
+        ``x @ kernel.T``). The fused op wants (in, out), so mu/rho (and
+        prior_mu) are transposed here — one XLA transpose per leaf per step
+        (two extra streams over the layer's params); the sampled math and
+        KL sums are orientation-invariant, though the eps stream is defined
+        in the transposed orientation (so fused-tier draws differ from the
+        naive tier's (out, in)-oriented stream for these layers)."""
         kpath = SEP.join(mod.path + ("kernel",))
         mu = mod.variables["params"]["kernel"]
         rho = bparams.rho[kpath]
+        if transposed:
+            mu, rho = mu.T, rho.T
         kind, offsets, decor = _tp_kernel_plan(kpath, mu.shape)
         seeds = layer_seeds(path_index[kpath], decorrelate=decor)
         lead, K = x.shape[:-1], x.shape[-1]
@@ -234,7 +244,9 @@ def fused_mc_apply(
             )
         elif spec.moped:
             y, lq, lp = ops_fused.bayes_linear(
-                xs, mu, rho, seeds, prior_mu=bparams.prior_mu[kpath],
+                xs, mu, rho, seeds,
+                prior_mu=(bparams.prior_mu[kpath].T if transposed
+                          else bparams.prior_mu[kpath]),
                 save_weights=save_weights, antithetic=antithetic,
                 unit_offsets=offsets,
             )
@@ -521,6 +533,12 @@ def fused_mc_apply(
             kpath = SEP.join(mod.path + ("kernel",))
             if kpath in bparams.rho:
                 return handle_dense(mod, f_args[0])
+        if type(mod).__name__ == "FlaxConv1D":
+            # GPT-2's dense-equivalent (kernel stored (out, in)); converted
+            # by the same dense rule — see handle_dense(transposed=True)
+            kpath = SEP.join(mod.path + ("kernel",))
+            if kpath in bparams.rho:
+                return handle_dense(mod, f_args[0], transposed=True)
         if convert_embeddings and isinstance(mod, nn.Embed):
             epath = SEP.join(mod.path + ("embedding",))
             if epath in bparams.rho:

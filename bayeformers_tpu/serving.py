@@ -59,9 +59,10 @@ class Predictor:
     seq_lens: tuple[int, ...] = (128,)
     pad_id: int = 0
     antithetic: bool = False
-    task: str = "classification"  # or "qa" (span heads)
+    task: str = "classification"  # or "qa" (span heads) / "causal-lm"
     max_answer_len: int = 30  # qa: span-length cap (HF default the reference
     n_best: int = 5           # inherits via compute_predictions_logits)
+    top_k: int = 50           # causal-lm: next-token candidates returned
     input_keys: tuple[str, ...] = (
         "input_ids", "attention_mask", "token_type_ids"
     )
@@ -69,7 +70,7 @@ class Predictor:
     def __post_init__(self):
         if self.antithetic and self.n_samples % 2:
             raise ValueError("antithetic serving needs an even n_samples")
-        if self.task not in ("classification", "qa"):
+        if self.task not in ("classification", "qa", "causal-lm"):
             raise ValueError(f"unknown task {self.task!r}")
 
         def summarize(logits):
@@ -105,6 +106,37 @@ class Predictor:
                     for tag, logits in (("start", start), ("end", end))
                     for k, v in summarize(logits).items()
                 }
+            if self.task == "causal-lm":
+                # out: (S, B, L, V) next-token logits — predict the token
+                # after each row's last live position, with the predictive
+                # entropy split into aleatoric + epistemic (BALD mutual
+                # information: H[mean_s p_s] - mean_s H[p_s]). top_k keeps
+                # the returned distribution small at GPT-2 vocab sizes.
+                idx = jnp.maximum(
+                    jnp.sum(inputs["attention_mask"], axis=-1) - 1, 0
+                )  # (B,); all-pad bucket rows clamp to 0 and are depadded
+                last = jnp.take_along_axis(
+                    out.astype(jnp.float32), idx[None, :, None, None], axis=2
+                )[:, :, 0]  # (S, B, V)
+                probs_s = jax.nn.softmax(last, axis=-1)
+                probs = jnp.mean(probs_s, axis=0)
+                ent = lambda p: -jnp.sum(
+                    p * jnp.log(jnp.clip(p, 1e-12)), axis=-1
+                )
+                entropy = ent(probs)
+                mutual_info = entropy - jnp.mean(ent(probs_s), axis=0)
+                top_p, top_ids = jax.lax.top_k(probs, self.top_k)
+                std_at_top = jnp.take_along_axis(
+                    jnp.std(probs_s, axis=0), top_ids, axis=-1
+                )
+                return {
+                    "topk_ids": top_ids,
+                    "topk_probs": top_p,
+                    "topk_epistemic_std": std_at_top,
+                    "entropy": entropy,
+                    "mutual_info": mutual_info,
+                    "pred": top_ids[:, 0],
+                }
             return summarize(out)
 
         self._run = _run
@@ -133,6 +165,12 @@ class Predictor:
     ) -> dict:
         """Run one request batch; returns depadded numpy arrays.
 
+        For ``task="causal-lm"`` (decoder families, models/gpt2.py) the
+        result holds per-request next-token summaries at the last live
+        position: ``topk_ids``/``topk_probs``/``topk_epistemic_std``
+        (``(n, top_k)``), ``pred``, predictive ``entropy``, and the BALD
+        ``mutual_info`` epistemic component.
+
         For ``task="qa"`` the result additionally carries ``spans``: per
         request, the ``n_best`` answer spans as ``{"start", "end", "score",
         "text"}`` dicts ranked by descending ``log p(start) + log p(end)``
@@ -160,12 +198,16 @@ class Predictor:
             padded[k] = jnp.asarray(out)
         key = jax.random.fold_in(jax.random.key(seed), nb * 100003 + lb)
         out = self._run(self.bparams, key, padded)
-        # depad rows always; per-position arrays (qa) also depad positions
-        result = {
-            k: (np.asarray(v)[:n, :L] if np.asarray(v).ndim >= 2
-                else np.asarray(v)[:n])
-            for k, v in out.items()
-        }
+        # depad rows always; per-position arrays (qa) also depad positions.
+        # causal-lm outputs are per-row (top-k dims are not positions).
+        if self.task == "causal-lm":
+            result = {k: np.asarray(v)[:n] for k, v in out.items()}
+        else:
+            result = {
+                k: (np.asarray(v)[:n, :L] if np.asarray(v).ndim >= 2
+                    else np.asarray(v)[:n])
+                for k, v in out.items()
+            }
         if self.task == "qa":
             result["spans"] = self._decode_spans(result, n, features, contexts)
         return result

@@ -183,3 +183,70 @@ def test_albert_fused_attention_matches_default_path():
         np.asarray(aux_on["log_variational_posterior"]),
         np.asarray(aux_off["log_variational_posterior"]), rtol=1e-5,
     )
+
+
+def test_gpt2_family_converts_and_trains():
+    """GPT-2 (decoder family, FlaxConv1D projections with (out, in)
+    kernels): the default dense rule converts exactly the c_attn/c_proj/
+    c_fc kernels+biases (embeddings and the tied LM head stay
+    frequentist), and the fused interception tier routes Conv1D through
+    the transposed dense path — verified against the frequentist forward
+    in the sigma->0 limit, where every estimator must agree."""
+    from bayeformers_tpu.models import gpt2 as gpt2_lib
+
+    bundle = bert_lib.build_model("gpt2", size="tiny", seed=0)
+    assert bundle.uses_token_type_ids is False
+    n_layer = bundle.config.n_layer
+    # A random-init GPT-2 has exactly-zero biases; MOPED patches rho for
+    # zero weights to 0.0 (reference layers/linear.py:140-144 parity), i.e.
+    # sigma = softplus(0) ~ 0.69 — deliberately NOT small. Give every zero
+    # leaf a tiny value so the sigma->0 comparison below is meaningful
+    # (the real recipe trains phase A first, so this never arises there).
+    params = jax.tree.map(
+        lambda a: jnp.where(a == 0, jnp.full_like(a, 0.01), a),
+        bundle.params,
+    )
+    bmodel, bp = bf.to_bayesian(
+        bundle.apply_fn, params, delta=1e-4, freeze=True
+    )
+    # 4 Conv1D modules per block (c_attn, c_proj, c_fc, mlp c_proj), each
+    # kernel + bias; nothing else (wte/wpe embeddings, LayerNorms, tied head)
+    assert len(bmodel.spec.paths) == n_layer * 4 * 2
+    assert all("kernel" in p or "bias" in p for p in bmodel.spec.paths)
+    assert not any("wte" in p or "wpe" in p or "ln_" in p
+                   for p in bmodel.spec.paths)
+
+    batch = gpt2_lib.synthetic_lm_batch(
+        np.random.default_rng(0), 2, 16, bundle.config.vocab_size
+    )
+    ids = batch["input_ids"]
+    freq = bundle.apply_fn(params, ids)
+
+    # sigma -> 0: fused (Conv1D-intercepted) and naive tiers must both
+    # reproduce the frequentist logits
+    out_f, aux_f = bmodel.mc_apply_fused(bp, jax.random.key(0), 2, ids)
+    out_n, aux_n = bmodel.mc_apply(bp, jax.random.key(0), 2, ids)
+    np.testing.assert_allclose(np.asarray(out_f[0]), np.asarray(freq),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_n[0]), np.asarray(freq),
+                               rtol=2e-3, atol=2e-3)
+    assert np.isfinite(np.asarray(aux_f["log_variational_posterior"])).all()
+
+    # a real delta trains: finite loss, nonzero rho grads through Conv1D
+    bmodel, bp = bf.to_bayesian(
+        bundle.apply_fn, params, delta=0.05, freeze=True
+    )
+
+    def loss_fn(bp):
+        out, aux = bmodel.mc_apply_fused(bp, jax.random.key(1), 2, ids)
+        from bayeformers_tpu.workloads.gpt2_lm import lm_nll_sum
+
+        nll = lm_nll_sum(bf.elbo.mc_logits_mean(out), ids)
+        return bf.elbo.elbo_loss(
+            nll, aux["log_prior"], aux["log_variational_posterior"], 10
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(bp)
+    assert np.isfinite(float(loss))
+    gmax = max(float(jnp.abs(v).max()) for v in grads.rho.values())
+    assert np.isfinite(gmax) and gmax > 0

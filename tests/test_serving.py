@@ -116,6 +116,56 @@ def test_predictor_qa_task():
         Predictor(bmodel, bp, task="translation")
 
 
+def test_predictor_causal_lm():
+    """task='causal-lm' (GPT-2 decoder family): next-token posterior
+    predictive at each row's last live position, with the BALD
+    entropy decomposition and a top-k summary (GPT-2 vocab is 50k —
+    returning the full distribution per request is not a serving API)."""
+    from bayeformers_tpu.models import gpt2 as gpt2_lib
+
+    bundle = gpt2_lib.build_gpt2(size="tiny", seed=0)
+    params = jax.tree.map(
+        lambda a: jnp.where(a == 0, jnp.full_like(a, 0.01), a),
+        bundle.params,
+    )
+    bmodel, bp = bf.to_bayesian(bundle.apply_fn, params, delta=0.05,
+                                freeze=True)
+    pred = Predictor(
+        bmodel, bp, n_samples=4, batch_sizes=(2,), seq_lens=(32,),
+        task="causal-lm", top_k=8,
+        input_keys=("input_ids", "attention_mask"),
+    )
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, bundle.config.vocab_size, (2, 20)).astype(np.int32)
+    mask = np.ones((2, 20), np.int32)
+    mask[1, 14:] = 0  # row 1's prompt really ends at position 13
+    out = pred({"input_ids": ids, "attention_mask": mask}, seed=3)
+
+    assert out["topk_ids"].shape == (2, 8)
+    assert out["topk_probs"].shape == (2, 8)
+    assert out["topk_epistemic_std"].shape == (2, 8)
+    assert out["entropy"].shape == (2,)
+    np.testing.assert_array_equal(out["pred"], out["topk_ids"][:, 0])
+    # top-k really is sorted and a sub-distribution
+    assert (np.diff(out["topk_probs"], axis=-1) <= 1e-7).all()
+    assert (out["topk_probs"].sum(-1) <= 1 + 1e-5).all()
+    # BALD decomposition: 0 <= mutual_info <= total predictive entropy
+    assert (out["mutual_info"] >= -1e-5).all()
+    assert (out["mutual_info"] <= out["entropy"] + 1e-5).all()
+
+    # deterministic per (inputs, seed)
+    out2 = pred({"input_ids": ids, "attention_mask": mask}, seed=3)
+    np.testing.assert_array_equal(out["topk_probs"], out2["topk_probs"])
+
+    # the last-live-position gather respects the mask: truncating row 1's
+    # padded tail (same bucket, same key) must not change its prediction
+    out3 = pred({"input_ids": ids[:, :14].copy(),
+                 "attention_mask": mask[:, :14].copy()}, seed=3)
+    np.testing.assert_array_equal(out["topk_ids"][1], out3["topk_ids"][1])
+    np.testing.assert_allclose(out["topk_probs"][1], out3["topk_probs"][1],
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def qa_predictor():
     from bayeformers_tpu.models import bert as bert_lib

@@ -160,3 +160,23 @@ def test_bert_glue_mc_chunked_step_tiny(tmp_path):
         batch_size=4, size="tiny", limit_batches=3, seed=0, mc_chunk=2,
     )
     assert 0.0 <= acc <= 1.0
+
+
+def test_gpt2_lm_tiny(tmp_path):
+    """The GPT-2 causal-LM workload (decoder-family extension) end to end:
+    4 phases on a tiny config, antithetic estimator through the Conv1D
+    interception. MOPED eval must stay near the frequentist accuracy (the
+    phase-A training moves every bias off exactly-zero, so delta-scaled
+    sigmas are genuinely small)."""
+    from bayeformers_tpu.workloads import gpt2_lm
+
+    results = gpt2_lm.train(
+        logs=str(tmp_path), size="tiny", batch_size=4, seq=32, n_train=64,
+        n_test=32, samples=2, delta=0.01, estimator="antithetic",
+        limit_batches=4,
+    )
+    for k, v in results.items():
+        assert np.isfinite(v), (k, v)
+    assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1
+    # artifacts written (JSONL + dumper results like the other workloads)
+    assert any(p.suffix == ".json" for p in tmp_path.iterdir())

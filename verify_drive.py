@@ -124,4 +124,21 @@ bp2r, _, m = step(bp2r, tx2.init(bp2r), jax.random.key(5), bsh)
 print(f"shard_map+Pallas on TPU: loss={float(m['loss']):.2f} "
       f"nll={float(m['nll']):.2f} (compile+run {time.time()-t0:.1f}s)", flush=True)
 assert np.isfinite(float(m["loss"]))
+
+# round-3 surface: GPT-2 decoder family through the Conv1D interception on
+# the real chip (fused + antithetic estimators)
+from bayeformers_tpu.models import gpt2 as gpt2_lib
+g = gpt2_lib.build_gpt2(size="tiny", seed=0)
+gp = jax.tree.map(lambda a: jnp.where(a == 0, jnp.full_like(a, 0.01), a),
+                  g.params)
+gbm, gbp = bf.to_bayesian(g.apply_fn, gp, delta=0.05, freeze=True)
+gids = gpt2_lib.synthetic_lm_batch(np.random.default_rng(3), 4, 32,
+                                   g.config.vocab_size)["input_ids"]
+gout, gaux = gbm.mc_apply_fused(gbp, jax.random.key(7), 2, gids)
+assert gout.shape == (2, 4, 32, g.config.vocab_size)
+assert np.isfinite(np.asarray(gaux["log_variational_posterior"])).all()
+gout2, _ = gbm.mc_apply_fused(gbp, jax.random.key(7), 2, gids,
+                              antithetic=True)
+assert np.isfinite(np.asarray(gout2, np.float32)).all()
+print("gpt2 conv1d interception on TPU ok", flush=True)
 print("VERIFY OK", flush=True)
