@@ -510,6 +510,88 @@ def fused_mc_apply(
         out = ops_attention.mha(q, k, v, bias, n_heads_local)
         return (handle_dense(mod.out_lin, out),)
 
+    def handle_gpt2_attention(mod, f_args, f_kwargs):
+        """GPT-2's FlaxGPT2Attention: ONE packed-QKV Conv1D (``c_attn``,
+        kernel (3E, E)) + output Conv1D (``c_proj``) + causal masking, all
+        inside one module. The handler reproduces the block: c_attn/c_proj
+        ride ``handle_dense(transposed=True)`` (identical eps streams and KL
+        bookkeeping as the per-Conv1D interception), the packed output is
+        split into q/k/v locally (a free slice — no head transposes), and
+        attention runs through the layout-preserving mha op with IN-KERNEL
+        causal masking (the (L, L) mask never hits HBM, unlike the stock
+        path's materialized broadcast of ``self.causal_mask``). The module's
+        own resid_dropout runs unchanged. Cross-attention, KV-cache decode,
+        and attention-weight outputs fall back to the stock path."""
+        if getattr(mod, "is_cross_attention", False) or not getattr(
+            mod, "causal", True
+        ):
+            return NotImplemented
+        hidden = f_args[0]
+        key_value_states = (
+            f_args[1] if len(f_args) > 1 else f_kwargs.get("key_value_states")
+        )
+        if key_value_states is not None:
+            return NotImplemented
+        attention_mask = (
+            f_args[2] if len(f_args) > 2 else f_kwargs.get("attention_mask")
+        )
+        if f_kwargs.get("init_cache", False) or mod.has_variable(
+            "cache", "cached_key"
+        ):
+            return NotImplemented
+        if f_kwargs.get("output_attentions", False):
+            return NotImplemented
+        deterministic = f_kwargs.get("deterministic", True)
+        p_drop = getattr(getattr(mod, "config", None), "attn_pdrop", 0.0)
+        if not deterministic and p_drop > 0:
+            return NotImplemented
+        for name in ("c_attn", "c_proj"):
+            if SEP.join(mod.path + (name, "kernel")) not in bparams.rho:
+                return NotImplemented
+        n_heads = mod.num_heads
+        H = hidden.shape[-1]
+        if hidden.ndim != 3 or H % n_heads or (H // n_heads) % 8:
+            return NotImplemented
+        if tp is None:
+            n_heads_local = n_heads
+        else:
+            kinds = (
+                tp.kind_fn(SEP.join(mod.path + ("c_attn", "kernel"))),
+                tp.kind_fn(SEP.join(mod.path + ("c_proj", "kernel"))),
+            )
+            if kinds == ("rep", "rep"):
+                n_heads_local = n_heads
+            elif kinds == ("col", "row"):
+                # Megatron split of the PACKED c_attn: valid only on the
+                # head-aligned permuted layout (parallel/mesh.py::
+                # permute_gpt2_qkv), where the local 3E/tp block is
+                # [Q_heads_r | K_heads_r | V_heads_r] and the 3-way split
+                # below lands exactly on this shard's heads.
+                if n_heads % tp.size:
+                    raise ValueError(
+                        f"n_heads={n_heads} must divide by tp={tp.size} "
+                        f"(gpt2 attention {mod.path})"
+                    )
+                n_heads_local = n_heads // tp.size
+            else:
+                raise ValueError(
+                    f"gpt2 attention {mod.path} needs c_attn col + c_proj "
+                    f"row sharding (parallel/mesh.py::gpt2_tp_kind); got "
+                    f"{kinds}"
+                )
+        if attention_mask is None:
+            bias = jnp.zeros(hidden.shape[:2], jnp.float32)
+        elif attention_mask.ndim != 2:
+            return NotImplemented
+        else:
+            bias = ops_attention.mask_to_bias(attention_mask)
+        qkv = handle_dense(mod.c_attn, hidden, transposed=True)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        ctx = ops_attention.mha(q, k, v, bias, n_heads_local, causal=True)
+        out = handle_dense(mod.c_proj, ctx, transposed=True)
+        out = mod.resid_dropout(out, deterministic=deterministic)
+        return (out,)
+
     def interceptor(next_fun, f_args, f_kwargs, context):
         mod = context.module
         if context.method_name != "__call__":
@@ -529,6 +611,11 @@ def fused_mc_apply(
             if out is not NotImplemented:
                 return out
             _tp_attention_error(mod, ("query", "key", "value"))
+        if fuse_attention and type(mod).__name__ == "FlaxGPT2Attention":
+            out = handle_gpt2_attention(mod, f_args, f_kwargs)
+            if out is not NotImplemented:
+                return out
+            _tp_attention_error(mod, ("c_attn",))
         if isinstance(mod, nn.Dense):
             kpath = SEP.join(mod.path + ("kernel",))
             if kpath in bparams.rho:

@@ -39,7 +39,14 @@ from bayeformers_tpu.ops import sampled_linear as split_lib
 NEG_BIG = float(jnp.finfo(jnp.float32).min)
 
 
-def _mha_xla(q, k, v, bias, n_heads: int):
+def _causal_keep(L: int):
+    """(L, L) bool: True where query position may attend key position."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    return cols <= rows
+
+
+def _mha_xla(q, k, v, bias, n_heads: int, causal: bool = False):
     """Reference/fallback implementation (plain XLA), HF-parity math."""
     N, L, H = q.shape
     d = H // n_heads
@@ -50,6 +57,10 @@ def _mha_xla(q, k, v, bias, n_heads: int):
         "nqhd,nkhd->nhqk", qh, kh, preferred_element_type=jnp.float32
     ) * (1.0 / math.sqrt(d))
     scores = scores + bias[:, None, None, :].astype(jnp.float32)
+    if causal:
+        # where, not add: a causal-masked padded key would otherwise sum two
+        # finfo.min terms to -inf and NaN the all-masked softmax rows
+        scores = jnp.where(_causal_keep(L)[None, None], scores, NEG_BIG)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         "nhqk,nkhd->nqhd", p.astype(q.dtype), vh,
@@ -58,10 +69,11 @@ def _mha_xla(q, k, v, bias, n_heads: int):
     return out.reshape(N, L, H).astype(q.dtype)
 
 
-def _fwd_kernel(n_heads, q_ref, k_ref, v_ref, bias_ref, o_ref):
+def _fwd_kernel(n_heads, causal, q_ref, k_ref, v_ref, bias_ref, o_ref):
     nb, L, H = q_ref.shape
     d = H // n_heads
     scale = 1.0 / math.sqrt(d)
+    keep = _causal_keep(L) if causal else None
     for b in range(nb):
         bias_row = bias_ref[b, 0, :]  # (L,)
         # load each (L, H) block once; per-head slicing happens on values
@@ -77,6 +89,8 @@ def _fwd_kernel(n_heads, q_ref, k_ref, v_ref, bias_ref, o_ref):
                 preferred_element_type=jnp.float32,
             )
             s = s + bias_row[None, :]
+            if causal:
+                s = jnp.where(keep, s, NEG_BIG)
             p = jax.nn.softmax(s, axis=-1)
             o = jnp.dot(
                 p.astype(vb.dtype),
@@ -88,12 +102,13 @@ def _fwd_kernel(n_heads, q_ref, k_ref, v_ref, bias_ref, o_ref):
         o_ref[b] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
-def _bwd_kernel(n_heads, q_ref, k_ref, v_ref, bias_ref, g_ref,
+def _bwd_kernel(n_heads, causal, q_ref, k_ref, v_ref, bias_ref, g_ref,
                 dq_ref, dk_ref, dv_ref):
     nb, L, H = q_ref.shape
     d = H // n_heads
     scale = 1.0 / math.sqrt(d)
     f32 = jnp.float32
+    keep = _causal_keep(L) if causal else None
     for b in range(nb):
         bias_row = bias_ref[b, 0, :]
         for h in range(n_heads):
@@ -105,6 +120,9 @@ def _bwd_kernel(n_heads, q_ref, k_ref, v_ref, bias_ref, g_ref,
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32
             ) + bias_row[None, :]
+            if causal:
+                # masked entries give p=0 -> ds=0: no masked-gradient leak
+                s = jnp.where(keep, s, NEG_BIG)
             p = jax.nn.softmax(s, axis=-1)
             # dV = P^T g
             dv = jax.lax.dot_general(
@@ -169,7 +187,7 @@ def _pad_n(x, n_pad):
     return jnp.pad(x, ((0, n_pad - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
 
 
-def _mha_pallas_fwd(q, k, v, bias, n_heads: int):
+def _mha_pallas_fwd(q, k, v, bias, n_heads: int, causal: bool = False):
     N, L, H = q.shape
     nb = _pick_nb(L, H, q.dtype.itemsize, 5)
     Np = -(-N // nb) * nb
@@ -183,7 +201,7 @@ def _mha_pallas_fwd(q, k, v, bias, n_heads: int):
     bspec = pl.BlockSpec((nb, 1, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_heads),
+        functools.partial(_fwd_kernel, n_heads, causal),
         grid=(Np // nb,),
         in_specs=[spec, spec, spec, bspec],
         out_specs=spec,
@@ -197,7 +215,7 @@ def _mha_pallas_fwd(q, k, v, bias, n_heads: int):
     return out[:N]
 
 
-def _mha_pallas_bwd(q, k, v, bias, g, n_heads: int):
+def _mha_pallas_bwd(q, k, v, bias, g, n_heads: int, causal: bool = False):
     N, L, H = q.shape
     nb = _pick_nb(L, H, q.dtype.itemsize, 8)
     Np = -(-N // nb) * nb
@@ -208,7 +226,7 @@ def _mha_pallas_bwd(q, k, v, bias, g, n_heads: int):
     bspec = pl.BlockSpec((nb, 1, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_heads),
+        functools.partial(_bwd_kernel, n_heads, causal),
         grid=(Np // nb,),
         in_specs=[spec, spec, spec, bspec, spec],
         out_specs=(spec, spec, spec),
@@ -224,35 +242,41 @@ def _mha_pallas_bwd(q, k, v, bias, g, n_heads: int):
     return dq[:N], dk[:N], dv[:N]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def mha(q, k, v, bias, n_heads: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def mha(q, k, v, bias, n_heads: int, causal: bool = False):
     """Self-attention in flat (N, L, H) layout.
 
     ``bias`` is the additive attention bias per key position, shape (N, L)
     (0 to attend, a large negative to mask — see :func:`mask_to_bias`).
+
+    ``causal=True`` (decoder families, GPT-2): lower-triangular masking is
+    applied ON TOP of ``bias``, computed in-kernel from iota — the (L, L)
+    mask never exists in HBM, matching HF's combine_masks semantics at zero
+    bandwidth cost.
     """
     if split_lib.use_pallas() and pallas_fits(
         q.shape[1], q.shape[2], q.dtype.itemsize
     ):
-        return _mha_pallas_fwd(q, k, v, bias, n_heads)
-    return _mha_xla(q, k, v, bias, n_heads)
+        return _mha_pallas_fwd(q, k, v, bias, n_heads, causal)
+    return _mha_xla(q, k, v, bias, n_heads, causal)
 
 
-def _mha_fwd(q, k, v, bias, n_heads):
-    return mha(q, k, v, bias, n_heads), (q, k, v, bias)
+def _mha_fwd(q, k, v, bias, n_heads, causal):
+    return mha(q, k, v, bias, n_heads, causal), (q, k, v, bias)
 
 
-def _mha_bwd(n_heads, res, g):
+def _mha_bwd(n_heads, causal, res, g):
     q, k, v, bias = res
     if (
         split_lib.use_pallas()
         and pallas_fits(q.shape[1], q.shape[2], q.dtype.itemsize)
         and os.environ.get("BAYEFORMERS_MHA_XLA_BWD", "0") != "1"
     ):
-        dq, dk, dv = _mha_pallas_bwd(q, k, v, bias, g, n_heads)
+        dq, dk, dv = _mha_pallas_bwd(q, k, v, bias, g, n_heads, causal)
     else:
-        _, vjp = jax.vjp(lambda q, k, v: _mha_xla(q, k, v, bias, n_heads),
-                         q, k, v)
+        _, vjp = jax.vjp(
+            lambda q, k, v: _mha_xla(q, k, v, bias, n_heads, causal), q, k, v
+        )
         dq, dk, dv = vjp(g)
     return dq, dk, dv, jnp.zeros_like(bias)
 

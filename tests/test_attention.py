@@ -213,3 +213,115 @@ def test_distilbert_fused_attention_matches_default_path():
     loss, grads = jax.value_and_grad(loss_fn)(bp)
     assert np.isfinite(float(loss))
     assert max(float(jnp.abs(v).max()) for v in grads.rho.values()) > 0
+
+
+def test_mha_causal_matches_reference():
+    """causal=True: in-kernel lower-triangular masking composed with the
+    (N, L) key-padding bias must equal the numpy reference with an explicit
+    (L, L) causal mask (HF GPT-2 combine_masks semantics)."""
+    rng = np.random.default_rng(4)
+    N, L, H, heads = 3, 8, 16, 4
+    d = H // heads
+    q = jnp.asarray(rng.normal(size=(N, L, H)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(N, L, H)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(N, L, H)), jnp.float32)
+    mask = np.ones((N, L), np.int32)
+    mask[1, 5:] = 0  # padding under causality: min-bias + causal where
+    bias = ops_attention.mask_to_bias(jnp.asarray(mask))
+
+    out = ops_attention.mha(q, k, v, bias, heads, causal=True)
+
+    qh = np.asarray(q).reshape(N, L, heads, d)
+    kh = np.asarray(k).reshape(N, L, heads, d)
+    vh = np.asarray(v).reshape(N, L, heads, d)
+    scores = np.einsum("nqhd,nkhd->nhqk", qh, kh) / np.sqrt(d)
+    scores = scores + np.asarray(bias)[:, None, None, :]
+    tri = np.tril(np.ones((L, L), bool))
+    scores = np.where(tri[None, None], scores, np.finfo(np.float32).min)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ref = np.einsum("nhqk,nkhd->nqhd", p, vh).reshape(N, L, H)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+
+    # future keys must not leak: edits strictly above the diagonal
+    k2 = np.asarray(k).copy()
+    v2 = np.asarray(v).copy()
+    k2[:, -1] = 37.0
+    v2[:, -1] = -37.0
+    out2 = ops_attention.mha(q, jnp.asarray(k2), jnp.asarray(v2), bias,
+                             heads, causal=True)
+    np.testing.assert_allclose(np.asarray(out)[:, :-1], np.asarray(out2)[:, :-1],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mha_causal_gradients_match_xla_autodiff():
+    rng = np.random.default_rng(5)
+    N, L, H, heads = 2, 8, 16, 2
+    q, k, v, g = (
+        jnp.asarray(rng.normal(size=(N, L, H)), jnp.float32) for _ in range(4)
+    )
+    bias = ops_attention.mask_to_bias(jnp.asarray(np.ones((N, L), np.int32)))
+
+    def loss(q, k, v):
+        return jnp.sum(ops_attention.mha(q, k, v, bias, heads, causal=True) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            ops_attention._mha_xla(q, k, v, bias, heads, causal=True) * g
+        )
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(got, ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6, err_msg=name)
+
+
+def test_gpt2_fused_attention_matches_default_path():
+    """GPT-2's whole-attention interception (packed c_attn split + causal
+    mha + c_proj) must reproduce the per-Conv1D interception path (stock
+    attention math) on the same key: both route c_attn/c_proj through
+    handle_dense, so eps streams and KL sums are identical by construction."""
+    from bayeformers_tpu.models import gpt2 as gpt2_lib
+
+    bundle = gpt2_lib.build_gpt2(size="tiny", seed=0)
+    params = jax.tree.map(
+        lambda a: jnp.where(a == 0, jnp.full_like(a, 0.01), a), bundle.params
+    )
+    bmodel, bp = bf.to_bayesian(bundle.apply_fn, params, delta=0.05,
+                                freeze=True)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, bundle.config.vocab_size, (4, 16)).astype(np.int32)
+    mask = np.ones((4, 16), np.int32)
+    mask[2, 11:] = 0  # pad under causality
+    inputs = {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask)}
+
+    key = jax.random.key(9)
+    out_on, aux_on = bmodel.mc_apply_fused(bp, key, 3, fuse_attention=True,
+                                           **inputs)
+    out_off, aux_off = bmodel.mc_apply_fused(bp, key, 3, fuse_attention=False,
+                                             **inputs)
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               rtol=2e-4, atol=2e-4)
+    for tag in ("log_prior", "log_variational_posterior"):
+        np.testing.assert_allclose(np.asarray(aux_on[tag]),
+                                   np.asarray(aux_off[tag]), rtol=1e-6)
+
+    # gradients flow through the causal fused route (both estimators)
+    def loss_fn(bp, anti):
+        out, aux = bmodel.mc_apply_fused(bp, key, 2, fuse_attention=True,
+                                         antithetic=anti, **inputs)
+        lp = jax.nn.log_softmax(
+            bf.elbo.mc_logits_mean(out)[:, :-1].astype(jnp.float32), -1
+        )
+        nll = -jnp.sum(jnp.take_along_axis(
+            lp, jnp.asarray(ids)[:, 1:, None], axis=-1
+        ))
+        return bf.elbo.elbo_loss(
+            nll, aux["log_prior"], aux["log_variational_posterior"], 4
+        )
+
+    for anti in (False, True):
+        loss, grads = jax.value_and_grad(loss_fn)(bp, anti)
+        assert np.isfinite(float(loss))
+        assert max(float(jnp.abs(v).max()) for v in grads.rho.values()) > 0
