@@ -22,6 +22,7 @@ import re
 
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -81,6 +82,98 @@ def tp_param_spec(path: str) -> P:
 bert_param_spec = tp_param_spec
 
 
+# ---------------------------------------------------------------------------
+# GPT-2 (decoder family): Conv1D kernels are stored (out, in) — the TRANSPOSE
+# of nn.Dense — so the Megatron roles flip PartitionSpec axes relative to
+# _TP_RULES: column-parallel shards dim 0, row-parallel shards dim 1. The
+# fused tier therefore needs the LOGICAL kind alongside the spec (the
+# orientation cannot be recovered from the spec alone); gpt2_tp_kind carries
+# it. c_attn additionally packs Q|K|V along the out dim: a plain block shard
+# is only head-aligned after the permutation below.
+# ---------------------------------------------------------------------------
+_GPT2_TP_RULES: list[tuple[re.Pattern, P, str]] = [
+    (re.compile(r"attn/c_attn/kernel$"), P("tp", None), "col"),
+    (re.compile(r"attn/c_attn/bias$"), P("tp"), "col"),
+    (re.compile(r"attn/c_proj/kernel$"), P(None, "tp"), "row"),
+    (re.compile(r"mlp/c_fc/kernel$"), P("tp", None), "col"),
+    (re.compile(r"mlp/c_fc/bias$"), P("tp"), "col"),
+    (re.compile(r"mlp/c_proj/kernel$"), P(None, "tp"), "row"),
+]
+
+
+def gpt2_param_spec(path: str) -> P:
+    for pattern, spec, _ in _GPT2_TP_RULES:
+        if pattern.search(path):
+            return spec
+    return P()  # wte/wpe, LayerNorms, all other biases: replicate
+
+
+def gpt2_tp_kind(path: str) -> str:
+    for pattern, _, kind in _GPT2_TP_RULES:
+        if pattern.search(path):
+            return kind
+    return "rep"
+
+
+def family_tp_fns(paths) -> tuple:
+    """(spec_fn, kind_fn) for the model family owning ``paths``.
+
+    GPT-2's Conv1D storage orientation makes kind derivation from the spec
+    wrong (see _GPT2_TP_RULES); every nn.Dense family shares tp_param_spec.
+    """
+    if any("c_attn" in p for p in paths):
+        return gpt2_param_spec, gpt2_tp_kind
+    return tp_param_spec, tp_kind
+
+
+def _qkv_perm(n_embd: int, tp: int) -> np.ndarray:
+    """Row permutation of the packed (3E, E) c_attn kernel so contiguous tp
+    blocks are head-aligned: shard r holds [Q_heads_r | K_heads_r | V_heads_r]
+    and the local 3E/tp slice splits into that shard's q/k/v directly."""
+    blk = n_embd // tp
+    idx = np.empty(3 * n_embd, np.int64)
+    o = 0
+    for r in range(tp):
+        for sec in range(3):
+            start = sec * n_embd + r * blk
+            idx[o:o + blk] = np.arange(start, start + blk)
+            o += blk
+    return idx
+
+
+def permute_gpt2_qkv(bparams: BayesParams, tp: int, inverse: bool = False):
+    """(Un)permute every packed c_attn leaf (kernel rows + bias) into the
+    head-aligned tp layout expected by the fused tier's GPT-2 attention
+    handler under tensor parallelism.
+
+    Apply BEFORE shard_bayes_params / optimizer init at tp>1 training start;
+    apply with ``inverse=True`` before exporting weights back to the stock
+    HF layout. The permutation is a relabeling of output channels that the
+    handler's local q/k/v split exactly undoes — the model function is
+    unchanged (tests/test_parallel.py::test_gpt2_qkv_permutation_is_model_invariant);
+    only the eps-stream/unit mapping differs, so tp draws are valid iid but
+    not bit-equal to the unpermuted single-device stream.
+    """
+    def pick(path: str, a):
+        if not path.endswith("attn/c_attn/kernel") and not path.endswith(
+            "attn/c_attn/bias"
+        ):
+            return a
+        idx = _qkv_perm(a.shape[0] // 3, tp)
+        if inverse:
+            idx = np.argsort(idx)
+        return jnp.asarray(np.asarray(a)[idx])
+
+    flat = flatten_dict(bparams.params, sep=SEP)
+    return BayesParams(
+        params=unflatten_dict(
+            {k: pick(k, v) for k, v in flat.items()}, sep=SEP
+        ),
+        rho={k: pick(k, v) for k, v in bparams.rho.items()},
+        prior_mu={k: pick(k, v) for k, v in bparams.prior_mu.items()},
+    )
+
+
 def kind_from_spec(spec: P) -> str:
     """'col' / 'row' / 'rep' classification of a leaf's PartitionSpec for the
     fused interception tier (nn/fused.py). 1-D out-feature shards (biases of
@@ -117,8 +210,12 @@ def assert_tp_coverage(paths, spec_fn=None) -> None:
 def shard_bayes_params(
     bparams: BayesParams, mesh: Mesh, spec_fn=None
 ) -> BayesParams:
-    """device_put every leaf with its NamedSharding (rho/prior_mu follow mu)."""
-    spec_fn = spec_fn or tp_param_spec
+    """device_put every leaf with its NamedSharding (rho/prior_mu follow mu).
+
+    ``spec_fn=None`` auto-selects the family rules (family_tp_fns) from the
+    converted paths — GPT-2 trees get the Conv1D-oriented specs.
+    """
+    spec_fn = spec_fn or family_tp_fns(bparams.rho.keys())[0]
     if dict(mesh.shape).get("tp", 1) > 1:
         assert_tp_coverage(bparams.rho.keys(), spec_fn)
 
@@ -138,7 +235,7 @@ def bayes_param_specs(bparams: BayesParams, spec_fn=None) -> BayesParams:
     """BayesParams-shaped pytree of raw PartitionSpecs (rho/prior_mu follow
     mu) — the ``in_specs``/``out_specs`` form for the shard_map tp trainer
     (parallel/train.py)."""
-    spec_fn = spec_fn or tp_param_spec
+    spec_fn = spec_fn or family_tp_fns(bparams.rho.keys())[0]
     flat = flatten_dict(bparams.params, sep=SEP)
     return BayesParams(
         params=unflatten_dict({k: spec_fn(k) for k in flat}, sep=SEP),
@@ -155,7 +252,7 @@ def shard_batch(batch, mesh: Mesh):
 
 def param_shardings(bparams: BayesParams, mesh: Mesh, spec_fn=None):
     """The NamedSharding pytree matching shard_bayes_params (for jit in_shardings)."""
-    spec_fn = spec_fn or tp_param_spec
+    spec_fn = spec_fn or family_tp_fns(bparams.rho.keys())[0]
     flat = flatten_dict(bparams.params, sep=SEP)
     params = unflatten_dict(
         {k: NamedSharding(mesh, spec_fn(k)) for k in flat}, sep=SEP

@@ -88,6 +88,7 @@ def make_train_step(
     estimator: str | None = None,
     mc_chunk: int | None = None,
     spec_fn=None,
+    kind_fn=None,
     independent_draws: bool = False,
     clip_norm: float | None = None,
 ):
@@ -120,7 +121,13 @@ def make_train_step(
     mesh_shape = dict(mesh.shape)
     n_dev = mesh_shape[axis]
     tp_size = mesh_shape.get("tp", 1)
-    spec_fn = spec_fn or mesh_lib.tp_param_spec
+    if spec_fn is None:
+        # family-aware defaults: GPT-2's Conv1D orientation needs its own
+        # (spec, kind) pair; Dense families derive kind from the spec
+        spec_fn, default_kind = mesh_lib.family_tp_fns(bmodel.spec.paths)
+    else:
+        default_kind = lambda path: mesh_lib.kind_from_spec(spec_fn(path))
+    kind_fn = kind_fn or default_kind
 
     if estimator is None:
         estimator = "fused" if fused else "naive"
@@ -130,10 +137,7 @@ def make_train_step(
                 "tp>1 in the shard_map tier requires estimator 'fused' or "
                 "'antithetic' (use the GSPMD tier for 'naive')"
             )
-        tpctx = coll.TPContext(
-            axis="tp", size=tp_size,
-            kind_fn=lambda path: mesh_lib.kind_from_spec(spec_fn(path)),
-        )
+        tpctx = coll.TPContext(axis="tp", size=tp_size, kind_fn=kind_fn)
         mc = functools.partial(
             bmodel.mc_apply_fused, antithetic=(estimator == "antithetic"),
             tp=tpctx,

@@ -30,6 +30,8 @@ from tqdm import tqdm
 import bayeformers_tpu as bf
 from bayeformers_tpu import training
 from bayeformers_tpu.models import gpt2 as gpt2_lib
+from bayeformers_tpu.parallel import mesh as mesh_lib
+from bayeformers_tpu.parallel import train as parallel_lib
 from bayeformers_tpu.utils.dumper import Dumper
 from bayeformers_tpu.utils.metrics import MetricsWriter, Report, run_name
 from bayeformers_tpu.utils.optim import masked_optimizer
@@ -50,6 +52,14 @@ def lm_nll_sum(logits: jax.Array, input_ids: jax.Array) -> jax.Array:
     tgt = input_ids[:, 1:]
     picked = jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
     return -jnp.sum(picked)
+
+
+def lm_loss(out, batch):
+    """make_train_step-contract loss: (sum NLL, per-example metrics)."""
+    ids = batch["input_ids"]
+    nll = lm_nll_sum(bf.elbo.mc_logits_mean(out), ids)
+    acc, acc_std, _ = lm_accuracy_and_std(out, ids)
+    return nll, {"acc": acc, "acc_std": acc_std}
 
 
 def lm_accuracy_and_std(mc_logits: jax.Array, input_ids: jax.Array):
@@ -87,9 +97,36 @@ def train(
     estimator: str = "naive",
     limit_batches: int | None = None,
     bf16: bool = False,
+    dp: int = 1,
+    tp: int = 1,
+    mc_chunk: int | None = None,
+    independent_draws: bool = False,
     **config_overrides,
 ) -> dict[str, float]:
     rng = np.random.default_rng(seed)
+    # Multi-chip mesh: dp shards the batch (GSPMD in phase A, shard_map+psum
+    # in phase D); tp Megatron-shards the Conv1D kernels per
+    # parallel/mesh.py::gpt2_param_spec — the packed c_attn is first
+    # permuted head-aligned (permute_gpt2_qkv) so the fused tier's local
+    # q/k/v split lands on whole heads.
+    mesh = None
+    tp_fused = False
+    if dp != 1 or tp != 1:
+        if tp > 1 and estimator not in ("fused", "antithetic"):
+            raise ValueError(
+                "gpt2 tp>1 rides the fused shard_map tier: use --estimator "
+                "fused or antithetic"
+            )
+        if dp <= 0:
+            dp = len(jax.devices()) // tp
+        if batch_size % dp:
+            raise ValueError(f"batch_size {batch_size} must divide dp={dp}")
+        tp_fused = tp > 1
+        mesh = mesh_lib.make_mesh(dp, tp)
+        print(f"[gpt2_lm] mesh dp={dp} tp={tp}")
+
+    def shard(tree):
+        return mesh_lib.shard_batch(tree, mesh) if mesh is not None else tree
     bundle = gpt2_lib.build_gpt2(
         size=size, seed=seed,
         dtype=jnp.bfloat16 if bf16 else jnp.float32, **config_overrides,
@@ -142,8 +179,10 @@ def train(
             report = Report("nll")
             for ids in tqdm(epoch_batches(epoch), total=n_batches,
                             desc=f"freq train {epoch}"):
+                # under a mesh the sharded batch makes plain jit
+                # data-parallel (GSPMD inserts the gradient all-reduce)
                 params, opt_state, loss = f_step(params, opt_state,
-                                                 jnp.asarray(ids))
+                                                 shard(jnp.asarray(ids)))
                 report.update(nll=float(loss))
             nll, acc = f_eval(params, test_ids)
             metrics = {"nll": float(nll) / n_tok, "acc": float(acc),
@@ -156,10 +195,26 @@ def train(
 
     # ---------------- Phase 2: MOPED conversion ----------------------------
     bmodel, bparams = bf.to_bayesian(apply_fn, params, delta=delta, freeze=True)
+    if mesh is not None:
+        if tp_fused:
+            # head-aligned packed-QKV layout, then Megatron shards
+            bparams = mesh_lib.permute_gpt2_qkv(bparams, tp)
+            bparams = mesh_lib.shard_bayes_params(bparams, mesh)
+        elif estimator != "naive":
+            bparams = parallel_lib.replicate(bparams, mesh)
 
     # ---------------- Phase 3 & 4: Bayesian eval + ELBO train --------------
     mc = training.pick_mc(bmodel, fused=estimator != "naive",
                           estimator=estimator)
+
+    def eval_view(bparams):
+        """Single-device-layout params for the jitted eval: tp shards are
+        gathered (one all-gather per eval) and the packed-QKV permutation
+        undone so the stock attention split applies."""
+        if tp_fused:
+            full = parallel_lib.replicate(bparams, mesh)
+            return mesh_lib.permute_gpt2_qkv(full, tp, inverse=True)
+        return bparams
 
     @jax.jit
     def b_eval(bparams, key, ids):
@@ -171,25 +226,39 @@ def train(
     btx = masked_optimizer(optax.adamw(lr), bmodel.trainable_mask(bparams))
     b_opt_state = btx.init(bparams)
 
-    @jax.jit
-    def b_step(bparams, opt_state, key, ids):
-        def loss_fn(bp):
-            out, aux = mc(bp, key, samples, ids)
-            nll = lm_nll_sum(bf.elbo.mc_logits_mean(out), ids)
-            loss = bf.elbo.elbo_loss(
-                nll, aux["log_prior"], aux["log_variational_posterior"],
-                n_batches,
-            )
-            return loss, nll
+    if mesh is not None and estimator != "naive":
+        _pstep = parallel_lib.make_train_step(
+            bmodel, btx, samples, n_batches, mesh, loss_fn=lm_loss,
+            input_keys=("input_ids",), estimator=estimator,
+            mc_chunk=mc_chunk, independent_draws=independent_draws,
+        )
 
-        (loss, nll), grads = jax.value_and_grad(loss_fn, has_aux=True)(bparams)
-        updates, opt_state = btx.update(grads, opt_state, bparams)
-        return optax.apply_updates(bparams, updates), opt_state, loss, nll
+        def b_step(bparams, opt_state, key, ids):
+            bp2, opt2, m = _pstep(
+                bparams, opt_state, key, shard({"input_ids": ids})
+            )
+            return bp2, opt2, m["loss"], m["nll"]
+    else:
+        @jax.jit
+        def b_step(bparams, opt_state, key, ids):
+            def loss_fn(bp):
+                out, aux = mc(bp, key, samples, ids)
+                nll = lm_nll_sum(bf.elbo.mc_logits_mean(out), ids)
+                loss = bf.elbo.elbo_loss(
+                    nll, aux["log_prior"], aux["log_variational_posterior"],
+                    n_batches,
+                )
+                return loss, nll
+
+            (loss, nll), grads = jax.value_and_grad(loss_fn, has_aux=True)(bparams)
+            updates, opt_state = btx.update(grads, opt_state, bparams)
+            return optax.apply_updates(bparams, updates), opt_state, loss, nll
 
     key = jax.random.key(seed + 1)
     with dumper.section("bayesian_eval"):
         key, k = jax.random.split(key)
-        nll, acc, acc_std, entropy, aux = b_eval(bparams, k, test_ids)
+        nll, acc, acc_std, entropy, aux = b_eval(eval_view(bparams), k,
+                                                   test_ids)
         metrics = {
             "nll": float(nll) / n_tok, "acc": float(acc),
             "acc_std": float(acc_std), "entropy": float(entropy),
@@ -211,11 +280,12 @@ def train(
                             desc=f"baye train {epoch}"):
                 key, k = jax.random.split(key)
                 bparams, b_opt_state, loss, nll = b_step(
-                    bparams, b_opt_state, k, jnp.asarray(ids)
+                    bparams, b_opt_state, k, shard(jnp.asarray(ids))
                 )
                 report.update(loss=float(loss), nll=float(nll))
             key, k = jax.random.split(key)
-            nll, acc, acc_std, entropy, aux = b_eval(bparams, k, test_ids)
+            nll, acc, acc_std, entropy, aux = b_eval(eval_view(bparams),
+                                                       k, test_ids)
             metrics = {"nll": float(nll) / n_tok, "acc": float(acc),
                        "acc_std": float(acc_std), "entropy": float(entropy)}
             writer.scalars("bayesian", metrics, epoch)
@@ -254,6 +324,13 @@ def main():
                         choices=["naive", "fused", "flipout", "antithetic"])
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel mesh size (0 = all devices / tp)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Megatron tensor parallelism (fused tier; the "
+                             "packed c_attn is head-align permuted)")
+    parser.add_argument("--mc-chunk", type=int, default=None)
+    parser.add_argument("--independent-draws", action="store_true")
     args = parser.parse_args()
     t0 = time.time()
     results = train(
@@ -263,6 +340,8 @@ def main():
         delta=args.delta, order_frac=args.order_frac, seed=args.seed,
         size=args.size, estimator=args.estimator,
         limit_batches=args.limit_batches, bf16=args.bf16,
+        dp=args.dp, tp=args.tp, mc_chunk=args.mc_chunk,
+        independent_draws=args.independent_draws,
     )
     print(f"done in {time.time()-t0:.1f}s: {results}")
 

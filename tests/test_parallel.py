@@ -337,23 +337,145 @@ def test_tp_rules_cover_all_families():
         mesh_lib.assert_tp_coverage(["layers_0/kernel", "layers_1/kernel"])
 
 
-def test_tp_on_gpt2_raises_loudly():
-    """GPT-2 is deliberately NOT tp-ruled: its fused c_attn kernel packs
-    Q|K|V along the out dim, and a plain PartitionSpec split across tp is
-    not head-aligned (device 0 would get all of Q plus part of K) — the
-    Megatron-correct blocked sharding needs a different layout. Until that
-    exists, --tp on GPT-2 must raise, not silently replicate (same policy
-    as VERDICT r2 weak #3). Paths are the converted tree's real shape
-    (models/gpt2.py; verified in tests/test_models.py)."""
-    gpt2_paths = [
-        "transformer/h/0/attn/c_attn/kernel",
-        "transformer/h/0/attn/c_attn/bias",
-        "transformer/h/0/attn/c_proj/kernel",
-        "transformer/h/0/mlp/c_fc/kernel",
-        "transformer/h/0/mlp/c_proj/kernel",
-    ]
+GPT2_PATHS = [
+    "transformer/h/0/attn/c_attn/kernel",
+    "transformer/h/0/attn/c_attn/bias",
+    "transformer/h/0/attn/c_proj/kernel",
+    "transformer/h/0/attn/c_proj/bias",
+    "transformer/h/0/mlp/c_fc/kernel",
+    "transformer/h/0/mlp/c_fc/bias",
+    "transformer/h/0/mlp/c_proj/kernel",
+    "transformer/h/0/mlp/c_proj/bias",
+]
+
+
+def test_gpt2_tp_rules_and_kinds():
+    """GPT-2 Conv1D kernels are stored (out, in) — the transpose of
+    nn.Dense — so the Megatron specs flip axes relative to _TP_RULES, and
+    the LOGICAL col/row kind must come from gpt2_tp_kind (kind_from_spec
+    would invert it). family_tp_fns auto-detects the family from the packed
+    c_attn path; the Dense-family default still raises loudly on these
+    paths (cross-family guard, VERDICT r2 weak #3 policy)."""
+    P = jax.sharding.PartitionSpec
+    expect = {
+        "attn/c_attn/kernel": (P("tp", None), "col"),
+        "attn/c_attn/bias": (P("tp"), "col"),
+        "attn/c_proj/kernel": (P(None, "tp"), "row"),
+        "attn/c_proj/bias": (P(), "rep"),
+        "mlp/c_fc/kernel": (P("tp", None), "col"),
+        "mlp/c_fc/bias": (P("tp"), "col"),
+        "mlp/c_proj/kernel": (P(None, "tp"), "row"),
+        "mlp/c_proj/bias": (P(), "rep"),
+    }
+    for path in GPT2_PATHS:
+        suffix = path.split("/", 3)[-1]
+        spec, kind = expect[suffix]
+        assert mesh_lib.gpt2_param_spec(path) == spec, path
+        assert mesh_lib.gpt2_tp_kind(path) == kind, path
+    spec_fn, kind_fn = mesh_lib.family_tp_fns(GPT2_PATHS)
+    assert spec_fn is mesh_lib.gpt2_param_spec
+    assert kind_fn is mesh_lib.gpt2_tp_kind
+    spec_fn, kind_fn = mesh_lib.family_tp_fns(["encoder/lin/kernel"])
+    assert spec_fn is mesh_lib.tp_param_spec
+    # the Dense-family spec matches nothing on GPT-2 paths -> loud failure
     with pytest.raises(ValueError, match="no converted parameter path"):
-        mesh_lib.assert_tp_coverage(gpt2_paths)
+        mesh_lib.assert_tp_coverage(GPT2_PATHS, mesh_lib.tp_param_spec)
+    # ... while the family-correct spec covers them
+    mesh_lib.assert_tp_coverage(GPT2_PATHS, mesh_lib.gpt2_param_spec)
+
+
+def test_gpt2_qkv_permutation_roundtrip_and_alignment():
+    """permute_gpt2_qkv: inverse really inverts, and each contiguous tp
+    block of the permuted out-dim is [Q_heads_r | K_heads_r | V_heads_r] —
+    the layout the fused handler's local 3-way split assumes."""
+    E, tp = 8, 2
+    rng = np.random.default_rng(0)
+    kernel = rng.normal(size=(3 * E, E)).astype(np.float32)
+    bias = rng.normal(size=(3 * E,)).astype(np.float32)
+    import bayeformers_tpu.nn.surgery as surgery
+
+    bp = surgery.BayesParams(
+        params={"transformer": {"h": {"0": {"attn": {"c_attn": {
+            "kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)
+        }}}}}},
+        rho={"transformer/h/0/attn/c_attn/kernel": jnp.asarray(kernel + 1)},
+        prior_mu={"transformer/h/0/attn/c_attn/bias": jnp.asarray(bias + 1)},
+    )
+    perm = mesh_lib.permute_gpt2_qkv(bp, tp)
+    back = mesh_lib.permute_gpt2_qkv(perm, tp, inverse=True)
+    k0 = lambda b: np.asarray(
+        b.params["transformer"]["h"]["0"]["attn"]["c_attn"]["kernel"]
+    )
+    np.testing.assert_array_equal(k0(back), kernel)
+    np.testing.assert_array_equal(
+        np.asarray(back.rho["transformer/h/0/attn/c_attn/kernel"]), kernel + 1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back.prior_mu["transformer/h/0/attn/c_attn/bias"]), bias + 1
+    )
+    # shard r's block = that r-slice of each of Q, K, V
+    blk = E // tp
+    pk = k0(perm)
+    for r in range(tp):
+        local = pk[r * 3 * blk:(r + 1) * 3 * blk]
+        np.testing.assert_array_equal(local[:blk], kernel[r * blk:][:blk])
+        np.testing.assert_array_equal(
+            local[blk:2 * blk], kernel[E + r * blk:][:blk]
+        )
+        np.testing.assert_array_equal(
+            local[2 * blk:], kernel[2 * E + r * blk:][:blk]
+        )
+
+
+@pytest.mark.parametrize("estimator", ["fused", "antithetic"])
+def test_shard_map_dp_tp_gpt2_fused(estimator):
+    """Megatron dp=2 x tp=2 on GPT-2's packed-QKV layout: at near-zero
+    sigma the sharded fused step's NLL must match the frequentist NLL of
+    the same batch (this exercises the permuted c_attn split, the causal
+    mha with local heads, the c_proj row psum, and the sharded KL path);
+    training steps must then move rho with finite loss. Draws are NOT
+    bit-comparable to the single-device stream (the head-aligned
+    permutation relabels the eps-unit mapping — documented in
+    permute_gpt2_qkv), so parity is asserted in the sigma->0 limit where
+    every estimator collapses to the same deterministic forward."""
+    from bayeformers_tpu.models import gpt2 as gpt2_lib
+    from bayeformers_tpu.parallel import train as ptrain
+    from bayeformers_tpu.workloads.gpt2_lm import lm_loss, lm_nll_sum
+
+    bundle = gpt2_lib.build_gpt2(size="tiny", seed=0)
+    params = jax.tree.map(
+        lambda a: jnp.where(a == 0, jnp.full_like(a, 0.01), a), bundle.params
+    )
+    n_s = 4 if estimator == "antithetic" else 3
+    ids = gpt2_lib.synthetic_lm_batch(
+        np.random.default_rng(0), 8, 16, bundle.config.vocab_size
+    )["input_ids"]
+    batch = {"input_ids": ids}
+
+    bmodel, bp = bf.to_bayesian(bundle.apply_fn, params, delta=1e-4,
+                                freeze=True)
+    mesh = mesh_lib.make_mesh(2, 2)
+    bp_perm = mesh_lib.permute_gpt2_qkv(bp, 2)
+    bp_sh = mesh_lib.shard_bayes_params(bp_perm, mesh)
+    tx = masked_optimizer(optax.sgd(1e-3), bmodel.trainable_mask(bp))
+    step = ptrain.make_train_step(
+        bmodel, tx, n_s, 10, mesh, loss_fn=lm_loss,
+        input_keys=("input_ids",), estimator=estimator,
+    )
+    batch_sh = _dp_shard(batch, mesh)
+    bp2, opt2, m = step(bp_sh, tx.init(bp_sh), jax.random.key(3), batch_sh)
+
+    freq_nll = float(lm_nll_sum(bundle.apply_fn(params, ids), ids))
+    np.testing.assert_allclose(float(m["nll"]), freq_nll, rtol=2e-3)
+    assert np.isfinite(float(m["loss"]))
+    # tp leaf really is distributed and rho trains
+    ck = "transformer/h/0/attn/c_attn/kernel"
+    assert len(bp2.rho[ck].sharding.device_set) == 4
+    assert not np.array_equal(np.asarray(bp2.rho[ck]),
+                              np.asarray(bp_sh.rho[ck]))
+    # second step runs on updated state (shardings stable)
+    bp3, _, m3 = step(bp2, opt2, jax.random.key(4), batch_sh)
+    assert np.isfinite(float(m3["loss"]))
 
 
 def test_shard_map_dp_mc_chunked_matches_single_device(tiny_bert):

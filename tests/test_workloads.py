@@ -180,3 +180,19 @@ def test_gpt2_lm_tiny(tmp_path):
     assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1
     # artifacts written (JSONL + dumper results like the other workloads)
     assert any(p.suffix == ".json" for p in tmp_path.iterdir())
+
+
+def test_gpt2_lm_dp_tp_fused_tiny(tmp_path):
+    """The GPT-2 workload end to end on a dp=2 x tp=2 mesh with the fused
+    estimator: packed-QKV permutation + Megatron sharding + shard_map step,
+    with evals riding the gathered+unpermuted single-device view."""
+    from bayeformers_tpu.workloads import gpt2_lm
+
+    results = gpt2_lm.train(
+        logs=str(tmp_path), size="tiny", batch_size=4, seq=32, n_train=64,
+        n_test=32, samples=2, delta=0.01, estimator="fused",
+        limit_batches=3, dp=2, tp=2,
+    )
+    for k, v in results.items():
+        assert np.isfinite(v), (k, v)
+    assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1
