@@ -267,6 +267,12 @@ def build_model(model_name: str, **kwargs) -> ModelBundle:
 
         kwargs.pop("n_labels", None)
         return build_gpt2(task=kwargs.pop("task", "causal-lm"), **kwargs)
+    if "t5" in name:
+        from bayeformers_tpu.models.t5 import build_t5
+
+        kwargs.pop("n_labels", None)
+        kwargs.pop("task", None)
+        return build_t5(**kwargs)
     if "distilbert" in name:
         return build_distilbert(**kwargs)
     if "roberta" in name or "camembert" in name:

@@ -176,6 +176,43 @@ def bench_squad_chunked():
     return timeit_scan(step, (bparams, opt_state), nscan=4, n_outer=2)
 
 
+def bench_gpt2():
+    """GPT-2-base causal-LM MC-10 ELBO step (decoder-family extension):
+    packed c_attn Conv1D interception + in-kernel causal mha, antithetic
+    estimator, bf16 activations — the gpt2_lm workload's TPU recipe."""
+    from bayeformers_tpu.models import gpt2 as gpt2_lib
+    from bayeformers_tpu.workloads.gpt2_lm import lm_nll_sum
+
+    bundle = gpt2_lib.build_gpt2(size="base", dtype=jnp.bfloat16)
+    bmodel, bparams = bf.to_bayesian(
+        bundle.apply_fn, bundle.params, delta=0.05, freeze=True
+    )
+    ids = gpt2_lib.synthetic_lm_batch(
+        np.random.default_rng(3), B, L, bundle.config.vocab_size
+    )["input_ids"]
+    tx = masked_optimizer(optax.adamw(5e-5), bmodel.trainable_mask(bparams))
+    opt_state = tx.init(bparams)
+
+    def step(state, i):
+        bparams, opt_state = state
+        key = jax.random.fold_in(jax.random.key(2), i)
+
+        def loss_fn(bparams):
+            out, aux = bmodel.mc_apply_fused(
+                bparams, key, S, ids, antithetic=True
+            )
+            nll = lm_nll_sum(bf.elbo.mc_logits_mean(out), ids)
+            return bf.elbo.elbo_loss(
+                nll, aux["log_prior"], aux["log_variational_posterior"], 100
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(bparams)
+        updates, opt_state = tx.update(grads, opt_state, bparams)
+        return (optax.apply_updates(bparams, updates), opt_state), loss
+
+    return timeit_scan(step, (bparams, opt_state), nscan=4, n_outer=2)
+
+
 def bench_serving():
     """Posterior-predictive serving throughput at a compiled bucket
     (requests/s, wall-clock incl. the per-dispatch tunnel floor)."""
@@ -314,6 +351,7 @@ def main():
     results["frequentist_floor_bf16"] = bench_frequentist_floor(inputs, labels)
 
     squad = bench_squad_chunked()
+    gpt2 = bench_gpt2()
     serving_rps, serving_t = bench_serving()
 
     # The framework's default recipe is the antithetic estimator for even S
@@ -370,6 +408,9 @@ def main():
         # full reference SQuAD recipe, chunked to fit one chip (VERDICT r2 #4)
         "squad_mc10_b13_l384_step_ms": round(squad[0] * 1e3, 2),
         "squad_mc10_b13_l384_step_ms_median": round(squad[1] * 1e3, 2),
+        # GPT-2-base causal-LM recipe (decoder-family extension)
+        "gpt2_mc10_b8_l128_step_ms": round(gpt2[0] * 1e3, 2),
+        "gpt2_mc10_b8_l128_step_ms_median": round(gpt2[1] * 1e3, 2),
         # serving tier: posterior-predictive requests/s at the (8, 128)
         # bucket, wall-clock per call (includes the per-dispatch floor)
         "serving_requests_per_sec": round(serving_rps, 2),

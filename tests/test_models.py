@@ -250,3 +250,60 @@ def test_gpt2_family_converts_and_trains():
     assert np.isfinite(float(loss))
     gmax = max(float(jnp.abs(v).max()) for v in grads.rho.values())
     assert np.isfinite(gmax) and gmax > 0
+
+
+def test_t5_family_converts_and_trains():
+    """T5 (encoder-decoder, bias-free nn.Dense everywhere): the default
+    rules convert exactly the projection kernels (q/k/v/o, wi/wo per block;
+    embeddings, relative_attention_bias tables and RMSNorm scales stay
+    frequentist), and both tiers reproduce the frequentist forward in the
+    sigma->0 limit."""
+    from bayeformers_tpu.models import t5 as t5_lib
+
+    bundle = t5_lib.build_t5(size="tiny", seed=0)
+    batch = t5_lib.synthetic_seq2seq_batch(
+        np.random.default_rng(0), 2, 12, 8, bundle.config.vocab_size
+    )
+    bmodel, bp = bf.to_bayesian(
+        bundle.apply_fn, bundle.params, delta=1e-4, freeze=True
+    )
+    # encoder 2 blocks x (q,k,v,o + wi,wo) + decoder 2 blocks x
+    # (self q,k,v,o + cross q,k,v,o + wi,wo); all kernels, no biases
+    assert all(p.endswith("kernel") for p in bmodel.spec.paths)
+    assert len(bmodel.spec.paths) == 2 * 6 + 2 * 10
+    assert not any("relative_attention_bias" in p or "shared" in p
+                   or "layer_norm" in p for p in bmodel.spec.paths)
+
+    freq = bundle.apply_fn(bundle.params, **batch)
+    out_f, aux_f = bmodel.mc_apply_fused(bp, jax.random.key(0), 2, **batch)
+    out_n, _ = bmodel.mc_apply(bp, jax.random.key(0), 2, **batch)
+    np.testing.assert_allclose(np.asarray(out_f[0]), np.asarray(freq),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_n[0]), np.asarray(freq),
+                               rtol=2e-3, atol=2e-3)
+    assert np.isfinite(np.asarray(aux_f["log_variational_posterior"])).all()
+
+    # a real delta trains: finite ELBO loss, nonzero rho grads through both
+    # the encoder and the decoder's cross-attention
+    bmodel, bp = bf.to_bayesian(
+        bundle.apply_fn, bundle.params, delta=0.05, freeze=True
+    )
+    labels = batch["labels"]
+
+    def loss_fn(bp):
+        out, aux = bmodel.mc_apply_fused(bp, jax.random.key(1), 2, **batch)
+        lp = jax.nn.log_softmax(
+            bf.elbo.mc_logits_mean(out).astype(jnp.float32), -1
+        )
+        nll = -jnp.sum(jnp.take_along_axis(lp, labels[..., None], axis=-1))
+        return bf.elbo.elbo_loss(
+            nll, aux["log_prior"], aux["log_variational_posterior"], 10
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(bp)
+    assert np.isfinite(float(loss))
+    enc = [v for k, v in grads.rho.items() if k.startswith("encoder")]
+    cross = [v for k, v in grads.rho.items() if "EncDecAttention" in k]
+    assert enc and cross
+    assert max(float(jnp.abs(v).max()) for v in enc) > 0
+    assert max(float(jnp.abs(v).max()) for v in cross) > 0
