@@ -558,3 +558,50 @@ def test_fused_step_inside_shard_map_on_tpu():
     np.testing.assert_allclose(
         float(m1["loss"]), float(m["loss"]), rtol=2e-5
     )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_mha_causal_kernel_parity(dtype):
+    """causal=True on the Pallas kernel == XLA reference with the same
+    in-kernel iota mask, fwd + bwd, pad+causal composition included."""
+    from bayeformers_tpu.ops import attention as at
+
+    rng = np.random.default_rng(1)
+    N, L, H, heads = 5, 128, 768, 12
+    q = jnp.asarray(rng.normal(size=(N, L, H)), dtype)
+    k = jnp.asarray(rng.normal(size=(N, L, H)), dtype)
+    v = jnp.asarray(rng.normal(size=(N, L, H)), dtype)
+    mask = np.ones((N, L), np.int32)
+    mask[2, 96:] = 0  # padded keys under causality: where-composition, no NaN
+    bias = at.mask_to_bias(jnp.asarray(mask))
+
+    out = at.mha(q, k, v, bias, heads, causal=True)
+    ref = at._mha_xla(q, k, v, bias, heads, causal=True)
+    assert not np.isnan(np.asarray(out, np.float32)).any()
+    tol = 2e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+    g = jnp.asarray(rng.normal(size=(N, L, H)), dtype)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            (at.mha(q, k, v, bias, heads, causal=True) * g).astype(jnp.float32)
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            (at._mha_xla(q, k, v, bias, heads, causal=True) * g).astype(
+                jnp.float32
+            )
+        )
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=tol * 5, atol=tol * 5, err_msg=name,
+        )

@@ -141,4 +141,22 @@ gout2, _ = gbm.mc_apply_fused(gbp, jax.random.key(7), 2, gids,
                               antithetic=True)
 assert np.isfinite(np.asarray(gout2, np.float32)).all()
 print("gpt2 conv1d interception on TPU ok", flush=True)
+
+# posterior-predictive generation on the real chip (KV-cache decode loop)
+from bayeformers_tpu.generation import mc_generate
+gen = mc_generate(g.hf_model, gbm, gbp, jax.random.key(11), gids[:2, :8],
+                  n_samples=2, max_new_tokens=4)
+assert gen["sequences"].shape == (2, 2, 12)
+print("mc_generate on TPU ok", flush=True)
+
+# T5 encoder-decoder family through both tiers on the real chip
+from bayeformers_tpu.models import t5 as t5_lib
+t = t5_lib.build_t5(size="tiny", seed=0)
+tb = t5_lib.synthetic_seq2seq_batch(np.random.default_rng(5), 2, 12, 8,
+                                    t.config.vocab_size)
+tbm, tbp = bf.to_bayesian(t.apply_fn, t.params, delta=0.05, freeze=True)
+tout, taux = tbm.mc_apply_fused(tbp, jax.random.key(12), 2, **tb)
+assert tout.shape[:2] == (2, 2)
+assert np.isfinite(np.asarray(taux["log_variational_posterior"])).all()
+print("t5 fused tier on TPU ok", flush=True)
 print("VERIFY OK", flush=True)
