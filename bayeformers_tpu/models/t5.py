@@ -26,13 +26,16 @@ import numpy as np
 
 from bayeformers_tpu.models.bert import ModelBundle
 
+# decoder_start_token_id = pad (0): HF leaves it None on a bare T5Config,
+# which breaks both shift_right and encoder-decoder generate; every released
+# T5 checkpoint uses the pad token
 T5_SMALL_KWARGS = dict(
     vocab_size=32128, d_model=512, d_kv=64, d_ff=2048,
-    num_layers=6, num_heads=8,
+    num_layers=6, num_heads=8, decoder_start_token_id=0,
 )
 T5_TINY_KWARGS = dict(
     vocab_size=512, d_model=64, d_kv=16, d_ff=128,
-    num_layers=2, num_heads=4,
+    num_layers=2, num_heads=4, decoder_start_token_id=0,
 )
 
 

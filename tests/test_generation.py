@@ -88,3 +88,21 @@ def test_do_sample_uses_decode_keys(tiny_gpt2):
                       temperature=5.0)
     gen = out["sequences"][:, :, 8:]
     assert any(not np.array_equal(gen[s], gen[0]) for s in range(1, 4))
+
+
+def test_t5_seq2seq_generation():
+    """mc_generate is model-agnostic over HF generate-capable wrappers:
+    T5 (encoder-decoder) decodes S posterior continuations; sequences are
+    decoder-side (start token first), sigma->0 draws all agree."""
+    from bayeformers_tpu.models import t5 as t5_lib
+
+    bundle = t5_lib.build_t5(size="tiny", seed=0)
+    bmodel, bp = bf.to_bayesian(bundle.apply_fn, bundle.params, delta=1e-5,
+                                freeze=True)
+    rng = np.random.default_rng(3)
+    src = rng.integers(2, bundle.config.vocab_size, (2, 10)).astype(np.int32)
+    out = mc_generate(bundle.hf_model, bmodel, bp, jax.random.key(0), src,
+                      n_samples=2, max_new_tokens=5)
+    # HF seq2seq generate returns decoder sequences: start token + 5 new
+    assert out["sequences"].shape[0] == 2 and out["sequences"].shape[1] == 2
+    assert (out["agreement"] == 1.0).all()
