@@ -123,3 +123,49 @@ def test_pretrained_roundtrip_fused_and_qa(tmp_path):
     assert s_log.shape == (4, 8, 16) and e_log.shape == (4, 8, 16)
     assert np.isfinite(np.asarray(s_log, np.float32)).all()
     assert np.isfinite(np.asarray(aux["log_prior"])).all()
+
+
+@pytest.mark.slow
+def test_pretrained_roundtrip_gpt2(tmp_path):
+    """The local save -> from_pretrained -> MOPED path for the decoder
+    family: a briefly-trained tiny GPT-2 reloads through
+    build_gpt2(pretrained=<local path>) and its MOPED posterior predictive
+    preserves the frequentist next-token accuracy (fused tier)."""
+    from bayeformers_tpu.models import gpt2 as gpt2_lib
+    from bayeformers_tpu.workloads.gpt2_lm import lm_nll_sum
+
+    bundle = gpt2_lib.build_gpt2(size="tiny", seed=0)
+    ids = gpt2_lib.synthetic_lm_batch(
+        np.random.default_rng(0), 32, 24, bundle.config.vocab_size,
+        order_frac=1.0,  # fully deterministic successor language: learnable
+    )["input_ids"]
+
+    tx = optax.adam(2e-3)
+    params, opt_state = bundle.params, None
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: lm_nll_sum(bundle.apply_fn(p, ids), ids)
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+    logits = bundle.apply_fn(params, ids)
+    freq_acc = float(jnp.mean(jnp.argmax(logits[:, :-1], -1) == ids[:, 1:]))
+    assert freq_acc >= 0.5, freq_acc
+
+    bundle.hf_model.params = params
+    ckpt = tmp_path / "tiny-gpt2"
+    bundle.hf_model.save_pretrained(str(ckpt))
+    reloaded = gpt2_lib.build_gpt2(pretrained=str(ckpt))
+    bmodel, bp = bf.to_bayesian(
+        reloaded.apply_fn, reloaded.params, delta=0.01, freeze=True
+    )
+    out, _ = bmodel.mc_apply_fused(bp, jax.random.key(1), 4, ids)
+    mean = bf.elbo.mc_logits_mean(out)
+    moped_acc = float(jnp.mean(jnp.argmax(mean[:, :-1], -1) == ids[:, 1:]))
+    assert abs(moped_acc - freq_acc) < 0.05, (moped_acc, freq_acc)
