@@ -181,9 +181,18 @@ def expected_calibration_error(probs, labels, n_bins: int = 15) -> float:
     labels = np.asarray(labels).astype(np.int64)
     conf = probs.max(axis=-1)
     correct = (probs.argmax(axis=-1) == labels).astype(np.float64)
+    return ece_from_confidence(conf, correct, n_bins)
+
+
+def ece_from_confidence(conf, correct, n_bins: int = 15) -> float:
+    """ECE from precomputed (confidence, correctness) vectors — the form
+    LM workloads use so the (B*L, V) predictive never materializes on host
+    (GPT-2's vocab makes the full probs array gigabytes)."""
+    conf = np.asarray(conf, np.float64).reshape(-1)
+    correct = np.asarray(correct, np.float64).reshape(-1)
     edges = np.linspace(0.0, 1.0, n_bins + 1)
     ece = 0.0
-    n = len(labels)
+    n = len(conf)
     for lo, hi in zip(edges[:-1], edges[1:]):
         sel = (conf > lo) & (conf <= hi) if lo > 0 else (conf <= hi)
         if not sel.any():

@@ -33,7 +33,8 @@ from bayeformers_tpu.models import gpt2 as gpt2_lib
 from bayeformers_tpu.parallel import mesh as mesh_lib
 from bayeformers_tpu.parallel import train as parallel_lib
 from bayeformers_tpu.utils.dumper import Dumper
-from bayeformers_tpu.utils.metrics import MetricsWriter, Report, run_name
+from bayeformers_tpu.utils.metrics import (MetricsWriter, Report,
+                                            ece_from_confidence, run_name)
 from bayeformers_tpu.utils.optim import masked_optimizer
 
 EPOCHS = 1
@@ -221,7 +222,14 @@ def train(
         out, aux = mc(bparams, key, samples, ids)
         nll = lm_nll_sum(bf.elbo.mc_logits_mean(out), ids)
         acc, acc_std, entropy = lm_accuracy_and_std(out, ids)
-        return nll, acc, acc_std, entropy, aux
+        # next-token calibration inputs, reduced IN-jit to two flat vectors
+        # (the full (B*L, V) predictive would be gigabytes at GPT-2 vocab)
+        probs = jnp.mean(
+            jax.nn.softmax(out[:, :, :-1].astype(jnp.float32), -1), axis=0
+        )
+        conf = jnp.max(probs, axis=-1).reshape(-1)
+        correct = (jnp.argmax(probs, -1) == ids[:, 1:]).reshape(-1)
+        return nll, acc, acc_std, entropy, (conf, correct), aux
 
     btx = masked_optimizer(optax.adamw(lr), bmodel.trainable_mask(bparams))
     b_opt_state = btx.init(bparams)
@@ -257,11 +265,12 @@ def train(
     key = jax.random.key(seed + 1)
     with dumper.section("bayesian_eval"):
         key, k = jax.random.split(key)
-        nll, acc, acc_std, entropy, aux = b_eval(eval_view(bparams), k,
-                                                   test_ids)
+        nll, acc, acc_std, entropy, cc, aux = b_eval(eval_view(bparams),
+                                                     k, test_ids)
         metrics = {
             "nll": float(nll) / n_tok, "acc": float(acc),
             "acc_std": float(acc_std), "entropy": float(entropy),
+            "ece": ece_from_confidence(*cc),
             "log_prior": float(jnp.mean(aux["log_prior"])),
             "log_variational_posterior": float(
                 jnp.mean(aux["log_variational_posterior"])
@@ -284,10 +293,12 @@ def train(
                 )
                 report.update(loss=float(loss), nll=float(nll))
             key, k = jax.random.split(key)
-            nll, acc, acc_std, entropy, aux = b_eval(eval_view(bparams),
-                                                       k, test_ids)
+            nll, acc, acc_std, entropy, cc, aux = b_eval(
+                eval_view(bparams), k, test_ids
+            )
             metrics = {"nll": float(nll) / n_tok, "acc": float(acc),
-                       "acc_std": float(acc_std), "entropy": float(entropy)}
+                       "acc_std": float(acc_std), "entropy": float(entropy),
+                       "ece": ece_from_confidence(*cc)}
             writer.scalars("bayesian", metrics, epoch)
             dumper.record(**{f"epoch_{epoch}_{k2}": v
                              for k2, v in metrics.items()})
