@@ -76,13 +76,17 @@ class Predictor:
         def summarize(logits):
             probs_s = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             probs = jnp.mean(probs_s, axis=0)
-            entropy = -jnp.sum(
-                probs * jnp.log(jnp.clip(probs, 1e-12)), axis=-1
+            ent = lambda p: -jnp.sum(
+                p * jnp.log(jnp.clip(p, 1e-12)), axis=-1
             )
+            entropy = ent(probs)
             return {
                 "probs": probs,
                 "epistemic_std": jnp.std(probs_s, axis=0),
                 "entropy": entropy,
+                # BALD mutual information: H[mean_s p_s] - mean_s H[p_s] —
+                # the epistemic share of the predictive entropy
+                "mutual_info": entropy - jnp.mean(ent(probs_s), axis=0),
                 "pred": jnp.argmax(probs, axis=-1),
             }
 

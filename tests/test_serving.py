@@ -51,6 +51,10 @@ def test_predictor_shapes_and_summaries(predictor):
     np.testing.assert_allclose(out["probs"].sum(-1), 1.0, rtol=1e-5)
     assert (out["entropy"] >= 0).all()
     assert (out["epistemic_std"] >= 0).all()
+    # BALD decomposition: 0 <= mutual_info <= total predictive entropy
+    assert out["mutual_info"].shape == (3,)
+    assert (out["mutual_info"] >= -1e-6).all()
+    assert (out["mutual_info"] <= out["entropy"] + 1e-6).all()
 
 
 def test_predictor_deterministic_per_seed(predictor):
