@@ -76,9 +76,11 @@ def flipout_mc_apply(
     def layer_key(i: int) -> jax.Array:
         return jax.random.fold_in(key, i)
 
-    def leaf_kl(path: str, mu, sigma, k):
+    def leaf_kl(path: str, mu, sigma, k, transposed: bool = False):
         if spec.moped:
             pm = bparams.prior_mu[path]
+            if transposed:
+                pm = pm.T  # Conv1D leaves arrive (out, in)-stored
             return dist.gaussian_kl(mu, sigma, pm, prior_lib.MOPED_PRIOR_SIGMA)
         # mixture prior: no closed form; kl_draws-draw MC estimate of
         # E_q[log q - log p] at w = mu + sigma*eps (a single draw makes the
@@ -94,10 +96,14 @@ def flipout_mc_apply(
         draws = jax.random.split(jax.random.fold_in(k, 1), kl_draws)
         return jnp.mean(jax.vmap(one)(draws))
 
-    def handle_dense(mod, x):
+    def handle_dense(mod, x, transposed: bool = False):
+        """``transposed=True``: GPT-2's FlaxConv1D stores (out, in) — same
+        orientation handling as the fused tier (nn/fused.py)."""
         kpath = SEP.join(mod.path + ("kernel",))
         mu = mod.variables["params"]["kernel"]
         rho = bparams.rho[kpath]
+        if transposed:
+            mu, rho = mu.T, rho.T
         sigma = dist.sigma_from_rho(rho)
         k = layer_key(path_index[kpath])
         lead, K = x.shape[:-1], x.shape[-1]
@@ -122,7 +128,7 @@ def flipout_mc_apply(
 
         if kpath not in seen:
             seen.add(kpath)
-            kl_terms.append(leaf_kl(kpath, mu, sigma, k))
+            kl_terms.append(leaf_kl(kpath, mu, sigma, k, transposed))
 
         if mod.use_bias:
             bpath = SEP.join(mod.path + ("bias",))
@@ -141,12 +147,13 @@ def flipout_mc_apply(
 
     def interceptor(next_fun, f_args, f_kwargs, context):
         mod = context.module
-        if (
-            context.method_name == "__call__"
-            and isinstance(mod, nn.Dense)
-            and SEP.join(mod.path + ("kernel",)) in bparams.rho
-        ):
-            return handle_dense(mod, f_args[0])
+        if context.method_name == "__call__" and SEP.join(
+            mod.path + ("kernel",)
+        ) in bparams.rho:
+            if isinstance(mod, nn.Dense):
+                return handle_dense(mod, f_args[0])
+            if type(mod).__name__ == "FlaxConv1D":
+                return handle_dense(mod, f_args[0], transposed=True)
         return next_fun(*f_args, **f_kwargs)
 
     tiled_args = tile_samples(args, S)

@@ -129,3 +129,26 @@ def test_flipout_trains(setup):
         bp, opt_state, loss = step(bp, opt_state, jax.random.key(i))
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_flipout_gpt2_conv1d():
+    """Flipout over the decoder family: FlaxConv1D routes through the
+    transposed dense path — sigma->0 reproduces the frequentist logits and
+    the analytic-KL aux surface stays well-formed."""
+    import bayeformers_tpu as bf
+    from bayeformers_tpu.models import gpt2 as gpt2_lib
+
+    bundle = gpt2_lib.build_gpt2(size="tiny", seed=0)
+    params = jax.tree.map(
+        lambda a: jnp.where(a == 0, jnp.full_like(a, 0.01), a), bundle.params
+    )
+    bmodel, bp = bf.to_bayesian(bundle.apply_fn, params, delta=1e-4,
+                                freeze=True)
+    ids = gpt2_lib.synthetic_lm_batch(
+        np.random.default_rng(0), 2, 16, bundle.config.vocab_size
+    )["input_ids"]
+    freq = bundle.apply_fn(params, ids)
+    out, aux = bmodel.mc_apply_flipout(bp, jax.random.key(0), 2, ids)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(freq),
+                               rtol=2e-3, atol=2e-3)
+    assert np.isfinite(float(aux["kl"]))
