@@ -38,6 +38,26 @@ def elbo_loss(
     ) / n_batches + nll
 
 
+def blundell_weight(batch_index, n_batches: int):
+    """Geometric minibatch KL weight pi_i = 2^(M-i) / (2^M - 1)
+    (Blundell et al. 2015, eq. 9) — front-loads the complexity cost onto
+    the first minibatches of each epoch instead of the uniform 1/M the
+    reference hard-codes (`examples/mlp_mnist.py:103`). Use as
+    ``elbo_loss(nll, lp, lq, 1/blundell_weight(i, M))``-style scaling, or
+    directly: ``nll + w * (mean(lq) - mean(lp))``.
+
+    Computed via the algebraically-cancelled form
+    pi_i = 2^-i / (1 - 2^-M): the naive 2^(M-i)/(2^M - 1) overflows f32
+    past M~128, and even its log-space version loses the fractional bits
+    of (M - i)*log2 at dataset-scale M. ``batch_index`` is 0-based
+    (i = index + 1 in the paper's 1-based convention).
+    """
+    i = jnp.asarray(batch_index, jnp.float32) + 1.0
+    m = jnp.float32(n_batches)
+    log2 = jnp.log(jnp.float32(2.0))
+    return jnp.exp(-i * log2 - jnp.log1p(-jnp.exp(-m * log2)))
+
+
 def mc_logits_mean(logits: jax.Array) -> jax.Array:
     """Average predictions over the leading MC-sample axis.
 

@@ -269,3 +269,26 @@ def test_analytic_kl_matches_mc_expectation(net_and_params):
     # missing key for the mixture prior is a clear error
     with pytest.raises(ValueError):
         bf.elbo.analytic_kl(bp2, bmodel2.spec)
+
+
+def test_blundell_weight_schedule():
+    """Blundell et al. 2015 eq. 9: weights are positive, strictly
+    decreasing, sum to 1 over an epoch, and match the closed form exactly
+    at small M; at dataset-scale M the log-space form stays finite where
+    the naive 2^M expression overflows."""
+    import numpy as np
+    from bayeformers_tpu import elbo
+
+    M = 10
+    w = np.array([float(elbo.blundell_weight(i, M)) for i in range(M)])
+    exact = np.array([2.0 ** (M - (i + 1)) for i in range(M)])
+    exact = exact / (2.0 ** M - 1)
+    np.testing.assert_allclose(w, exact, rtol=1e-6)
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+    assert (np.diff(w) < 0).all()
+
+    M = 50000  # 2^50000 overflows every float; the log form must not
+    w0 = float(elbo.blundell_weight(0, M))
+    w1 = float(elbo.blundell_weight(1, M))
+    assert np.isfinite(w0) and 0 < w0 <= 0.5 + 1e-6
+    np.testing.assert_allclose(w1 / w0, 0.5, rtol=1e-5)
