@@ -21,6 +21,13 @@ Notes vs the encoder families:
   reference's nn.Linear-only conversion scope.
 - ``tie_word_embeddings=False`` puts a real ``lm_head/kernel`` Dense leaf
   in the tree, which converts and intercepts like any other.
+- Opt-in embedding conversion (``EMBEDDING_RULE``) + the tied head have a
+  tier nuance: the vmapped tier samples the whole tree, so the tied head
+  consumes the SAMPLED wte; the fused tier intercepts only the lookup, so
+  the tied head keeps mu. Both are valid posteriors (the head weight is a
+  deterministic vs stochastic reuse of the table), but draws differ — use
+  ``tie_word_embeddings=False`` if exact cross-tier parity with converted
+  embeddings matters.
 """
 from __future__ import annotations
 
