@@ -113,16 +113,15 @@ def train(
     mesh = None
     tp_fused = False
     if dp != 1 or tp != 1:
-        if tp > 1 and estimator not in ("fused", "antithetic"):
-            raise ValueError(
-                "gpt2 tp>1 rides the fused shard_map tier: use --estimator "
-                "fused or antithetic"
-            )
         if dp <= 0:
             dp = len(jax.devices()) // tp
         if batch_size % dp:
             raise ValueError(f"batch_size {batch_size} must divide dp={dp}")
-        tp_fused = tp > 1
+        # fused/antithetic ride shard_map (Pallas kernels are opaque to the
+        # GSPMD partitioner) and need the head-aligned c_attn permutation;
+        # the naive tier rides GSPMD, where sharding is layout-only and the
+        # packed c_attn shards correctly without it
+        tp_fused = tp > 1 and estimator in ("fused", "antithetic")
         mesh = mesh_lib.make_mesh(dp, tp)
         print(f"[gpt2_lm] mesh dp={dp} tp={tp}")
 
@@ -200,6 +199,9 @@ def train(
         if tp_fused:
             # head-aligned packed-QKV layout, then Megatron shards
             bparams = mesh_lib.permute_gpt2_qkv(bparams, tp)
+            bparams = mesh_lib.shard_bayes_params(bparams, mesh)
+        elif tp > 1:
+            # GSPMD tier: plain specs, no permutation (layout-only)
             bparams = mesh_lib.shard_bayes_params(bparams, mesh)
         elif estimator != "naive":
             bparams = parallel_lib.replicate(bparams, mesh)

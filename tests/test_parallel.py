@@ -510,3 +510,38 @@ def test_shard_map_dp_mc_chunked_matches_single_device(tiny_bert):
         np.asarray(bp1.rho[path]), np.asarray(bp2.rho[path]),
         rtol=1e-4, atol=1e-7,
     )
+
+
+def test_gpt2_gspmd_naive_sharded_matches_single_device():
+    """GSPMD tier on GPT-2: sharding is a layout annotation, so the packed
+    c_attn shards correctly WITHOUT the head-aligned permutation — the
+    vmapped-tier loss on a dp=4 x tp=2 mesh must equal the unsharded loss."""
+    from bayeformers_tpu.models import gpt2 as gpt2_lib
+    from bayeformers_tpu.workloads.gpt2_lm import lm_nll_sum
+
+    bundle = gpt2_lib.build_gpt2(size="tiny", seed=0)
+    params = jax.tree.map(
+        lambda a: jnp.where(a == 0, jnp.full_like(a, 0.01), a), bundle.params
+    )
+    bmodel, bp = bf.to_bayesian(bundle.apply_fn, params, delta=0.05,
+                                freeze=True)
+    ids = gpt2_lib.synthetic_lm_batch(
+        np.random.default_rng(2), 8, 16, bundle.config.vocab_size
+    )["input_ids"]
+
+    def loss_fn(bparams, ids):
+        out, aux = bmodel.mc_apply(bparams, jax.random.key(4), 2, ids)
+        nll = lm_nll_sum(bf.elbo.mc_logits_mean(out), ids)
+        return bf.elbo.elbo_loss(
+            nll, aux["log_prior"], aux["log_variational_posterior"], 10
+        )
+
+    loss_single = float(jax.jit(loss_fn)(bp, ids))
+    mesh = mesh_lib.make_mesh(4, 2)
+    # auto-detected family spec (gpt2_param_spec) — no permutation
+    bp_sh = mesh_lib.shard_bayes_params(bp, mesh)
+    ck = "transformer/h/0/attn/c_attn/kernel"
+    assert len(bp_sh.rho[ck].sharding.device_set) == 8
+    ids_sh = mesh_lib.shard_batch(ids, mesh)
+    loss_sharded = float(jax.jit(loss_fn)(bp_sh, ids_sh))
+    np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-4)
