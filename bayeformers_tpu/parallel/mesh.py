@@ -115,15 +115,44 @@ def gpt2_tp_kind(path: str) -> str:
     return "rep"
 
 
+# T5: standard (in, out) nn.Dense kernels, bias-free. Megatron roles:
+# q/k/v (self and cross) + DenseReluDense/wi column-parallel, o + wo
+# row-parallel. GSPMD TIER ONLY — T5's attention modules are not
+# interception-covered (relative position bias per head), so the fused
+# shard_map tier must reject tp>1 on this family rather than let the stock
+# attention code reshape sharded widths (family_tp_fns flags it).
+_T5_TP_RULES: list[tuple[re.Pattern, P]] = [
+    (re.compile(r"Attention/(q|k|v)/kernel$"), P(None, "tp")),
+    (re.compile(r"Attention/o/kernel$"), P("tp", None)),
+    (re.compile(r"DenseReluDense/wi(_\d+)?/kernel$"), P(None, "tp")),
+    (re.compile(r"DenseReluDense/wo/kernel$"), P("tp", None)),
+]
+
+
+def t5_param_spec(path: str) -> P:
+    for pattern, spec in _T5_TP_RULES:
+        if pattern.search(path):
+            return spec
+    return P()
+
+
 def family_tp_fns(paths) -> tuple:
-    """(spec_fn, kind_fn) for the model family owning ``paths``.
+    """(spec_fn, kind_fn, fused_tp_ok) for the model family owning ``paths``.
 
     GPT-2's Conv1D storage orientation makes kind derivation from the spec
-    wrong (see _GPT2_TP_RULES); every nn.Dense family shares tp_param_spec.
+    wrong (see _GPT2_TP_RULES); T5 shards under GSPMD only (no fused
+    attention interception); every other nn.Dense family shares
+    tp_param_spec. Returned as a 3-tuple — older 2-tuple callers should
+    unpack with ``spec_fn, kind_fn = family_tp_fns(paths)[:2]``.
     """
+    paths = list(paths)
     if any("c_attn" in p for p in paths):
-        return gpt2_param_spec, gpt2_tp_kind
-    return tp_param_spec, tp_kind
+        return gpt2_param_spec, gpt2_tp_kind, True
+    if any("DenseReluDense" in p for p in paths):
+        return t5_param_spec, (
+            lambda path: kind_from_spec(t5_param_spec(path))
+        ), False
+    return tp_param_spec, tp_kind, True
 
 
 def _qkv_perm(n_embd: int, tp: int) -> np.ndarray:

@@ -124,7 +124,17 @@ def make_train_step(
     if spec_fn is None:
         # family-aware defaults: GPT-2's Conv1D orientation needs its own
         # (spec, kind) pair; Dense families derive kind from the spec
-        spec_fn, default_kind = mesh_lib.family_tp_fns(bmodel.spec.paths)
+        spec_fn, default_kind, fused_tp_ok = mesh_lib.family_tp_fns(
+            bmodel.spec.paths
+        )
+        if tp_size > 1 and not fused_tp_ok:
+            raise ValueError(
+                "this model family shards under the GSPMD tier only (its "
+                "attention modules are not interception-covered); tp>1 in "
+                "the fused shard_map tier would let stock attention code "
+                "reshape sharded widths. Use plain jit over "
+                "shard_bayes_params instead."
+            )
     else:
         default_kind = lambda path: mesh_lib.kind_from_spec(spec_fn(path))
     kind_fn = kind_fn or default_kind

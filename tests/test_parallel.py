@@ -372,11 +372,13 @@ def test_gpt2_tp_rules_and_kinds():
         spec, kind = expect[suffix]
         assert mesh_lib.gpt2_param_spec(path) == spec, path
         assert mesh_lib.gpt2_tp_kind(path) == kind, path
-    spec_fn, kind_fn = mesh_lib.family_tp_fns(GPT2_PATHS)
+    spec_fn, kind_fn, fused_ok = mesh_lib.family_tp_fns(GPT2_PATHS)
     assert spec_fn is mesh_lib.gpt2_param_spec
     assert kind_fn is mesh_lib.gpt2_tp_kind
-    spec_fn, kind_fn = mesh_lib.family_tp_fns(["encoder/lin/kernel"])
+    assert fused_ok
+    spec_fn, kind_fn, fused_ok = mesh_lib.family_tp_fns(["encoder/lin/kernel"])
     assert spec_fn is mesh_lib.tp_param_spec
+    assert fused_ok
     # the Dense-family spec matches nothing on GPT-2 paths -> loud failure
     with pytest.raises(ValueError, match="no converted parameter path"):
         mesh_lib.assert_tp_coverage(GPT2_PATHS, mesh_lib.tp_param_spec)
@@ -544,4 +546,61 @@ def test_gpt2_gspmd_naive_sharded_matches_single_device():
     assert len(bp_sh.rho[ck].sharding.device_set) == 8
     ids_sh = mesh_lib.shard_batch(ids, mesh)
     loss_sharded = float(jax.jit(loss_fn)(bp_sh, ids_sh))
+    np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-4)
+
+
+def test_t5_tp_rules_and_gspmd_sharded_matches_single_device():
+    """T5 tp rules (GSPMD tier only): q/k/v/wi column-, o/wo row-parallel;
+    family_tp_fns flags fused-tier tp as unsupported (no T5 attention
+    interception) and make_train_step refuses it loudly; the vmapped-tier
+    loss on a dp=4 x tp=2 mesh equals the unsharded loss."""
+    import optax as _optax
+    from bayeformers_tpu.models import t5 as t5_lib
+    from bayeformers_tpu.parallel import train as ptrain
+
+    P = jax.sharding.PartitionSpec
+    assert mesh_lib.t5_param_spec(
+        "encoder/block/0/layer/0/SelfAttention/q/kernel") == P(None, "tp")
+    assert mesh_lib.t5_param_spec(
+        "decoder/block/1/layer/1/EncDecAttention/o/kernel") == P("tp", None)
+    assert mesh_lib.t5_param_spec(
+        "encoder/block/0/layer/1/DenseReluDense/wi/kernel") == P(None, "tp")
+    assert mesh_lib.t5_param_spec(
+        "encoder/block/0/layer/1/DenseReluDense/wo/kernel") == P("tp", None)
+    assert mesh_lib.t5_param_spec("shared/embedding") == P()
+
+    bundle = t5_lib.build_t5(size="tiny", seed=0)
+    bmodel, bp = bf.to_bayesian(bundle.apply_fn, bundle.params, delta=0.05,
+                                freeze=True)
+    spec_fn, _, fused_ok = mesh_lib.family_tp_fns(bmodel.spec.paths)
+    assert spec_fn is mesh_lib.t5_param_spec and not fused_ok
+
+    mesh = mesh_lib.make_mesh(4, 2)
+    tx = masked_optimizer(_optax.sgd(1e-3), bmodel.trainable_mask(bp))
+    with pytest.raises(ValueError, match="GSPMD tier only"):
+        ptrain.make_train_step(bmodel, tx, 2, 10, mesh, estimator="fused")
+
+    batch = t5_lib.synthetic_seq2seq_batch(
+        np.random.default_rng(0), 8, 12, 8, bundle.config.vocab_size
+    )
+    labels = batch["labels"]
+
+    def loss_fn(bparams, batch, labels):
+        out, aux = bmodel.mc_apply(bparams, jax.random.key(6), 2, **batch)
+        lp = jax.nn.log_softmax(
+            bf.elbo.mc_logits_mean(out).astype(jnp.float32), -1
+        )
+        nll = -jnp.sum(jnp.take_along_axis(lp, labels[..., None], axis=-1))
+        return bf.elbo.elbo_loss(
+            nll, aux["log_prior"], aux["log_variational_posterior"], 10
+        )
+
+    loss_single = float(jax.jit(loss_fn)(bp, batch, labels))
+    bp_sh = mesh_lib.shard_bayes_params(bp, mesh)  # auto t5 specs
+    qk = "encoder/block/0/layer/0/SelfAttention/q/kernel"
+    assert len(bp_sh.rho[qk].sharding.device_set) == 8
+    batch_sh = mesh_lib.shard_batch(batch, mesh)
+    loss_sharded = float(jax.jit(loss_fn)(
+        bp_sh, batch_sh, batch_sh["labels"]
+    ))
     np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-4)
