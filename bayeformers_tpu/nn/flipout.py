@@ -44,6 +44,31 @@ from bayeformers_tpu.ops import sampled_linear as ops_linear
 KL_DRAWS = 4
 
 
+def analytic_leaf_kl(spec, bparams, mixture, kl_draws, path, mu, sigma, key,
+                     transposed: bool = False):
+    """Per-leaf ``KL(q || prior)`` for estimators with no sampled weight to
+    score (flipout, local reparameterization): closed form under the
+    Gaussian/MOPED prior, a ``kl_draws``-draw MC estimate of
+    ``E_q[log q - log p]`` under the scale mixture (a single draw makes the
+    KL gradient needlessly noisy relative to these estimators' low-variance
+    likelihood terms)."""
+    if spec.moped:
+        pm = bparams.prior_mu[path]
+        if transposed:
+            pm = pm.T  # Conv1D leaves arrive (out, in)-stored
+        return dist.gaussian_kl(mu, sigma, pm, prior_lib.MOPED_PRIOR_SIGMA)
+
+    def one(dk):
+        eps = jax.random.normal(dk, mu.shape, mu.dtype)
+        w = mu + sigma * eps
+        log_q = dist.gaussian_log_prob_from_eps(eps, sigma)
+        log_p = dist.scale_mixture_log_prob(w, *mixture)
+        return log_q - log_p
+
+    draws = jax.random.split(jax.random.fold_in(key, 1), kl_draws)
+    return jnp.mean(jax.vmap(one)(draws))
+
+
 def _rademacher(key, shape):
     return jax.random.rademacher(key, shape, jnp.float32)
 
@@ -77,24 +102,9 @@ def flipout_mc_apply(
         return jax.random.fold_in(key, i)
 
     def leaf_kl(path: str, mu, sigma, k, transposed: bool = False):
-        if spec.moped:
-            pm = bparams.prior_mu[path]
-            if transposed:
-                pm = pm.T  # Conv1D leaves arrive (out, in)-stored
-            return dist.gaussian_kl(mu, sigma, pm, prior_lib.MOPED_PRIOR_SIGMA)
-        # mixture prior: no closed form; kl_draws-draw MC estimate of
-        # E_q[log q - log p] at w = mu + sigma*eps (a single draw makes the
-        # KL gradient needlessly noisy relative to flipout's low-variance
-        # likelihood term)
-        def one(dk):
-            eps = jax.random.normal(dk, mu.shape, mu.dtype)
-            w = mu + sigma * eps
-            log_q = dist.gaussian_log_prob_from_eps(eps, sigma)
-            log_p = dist.scale_mixture_log_prob(w, *mixture)
-            return log_q - log_p
-
-        draws = jax.random.split(jax.random.fold_in(k, 1), kl_draws)
-        return jnp.mean(jax.vmap(one)(draws))
+        return analytic_leaf_kl(
+            spec, bparams, mixture, kl_draws, path, mu, sigma, k, transposed
+        )
 
     def handle_dense(mod, x, transposed: bool = False):
         """``transposed=True``: GPT-2's FlaxConv1D stores (out, in) — same

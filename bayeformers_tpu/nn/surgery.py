@@ -203,6 +203,19 @@ class BayesianModel:
             self.apply_fn, self.spec, bparams, key, n_samples, *args, **kwargs
         )
 
+    def mc_apply_lrt(
+        self, bparams: BayesParams, key: jax.Array, n_samples: int, *args, **kwargs
+    ):
+        """Local reparameterization estimator (extension; see nn/lrt.py):
+        activations sampled from their exact Gaussian marginals — two
+        shared-weight matmuls per layer regardless of S, analytic KL.
+        Same return contract as :meth:`mc_apply`."""
+        from bayeformers_tpu.nn import lrt as lrt_lib
+
+        return lrt_lib.lrt_mc_apply(
+            self.apply_fn, self.spec, bparams, key, n_samples, *args, **kwargs
+        )
+
     # -- trainability -------------------------------------------------------
     def trainable_mask(self, bparams: BayesParams) -> BayesParams:
         """Bool pytree for optax.masked: False = do not train.

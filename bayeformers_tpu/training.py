@@ -60,9 +60,11 @@ def qa_span_loss(out, batch):
 
 def pick_mc(bmodel: BayesianModel, fused: bool, estimator: Optional[str] = None):
     """Resolve the MC forward: 'fused' (Pallas), 'naive' (vmapped tier-A),
-    'flipout' (per-example decorrelated perturbations, nn/flipout.py), or
+    'flipout' (per-example decorrelated perturbations, nn/flipout.py),
     'antithetic' (fused with ± paired weight draws — unbiased, lower
-    variance, half the on-chip noise generation; needs even n_samples).
+    variance, half the on-chip noise generation; needs even n_samples), or
+    'local' (local reparameterization, nn/lrt.py — exact activation
+    marginals, two shared-weight matmuls per layer regardless of S).
     ``estimator`` overrides the legacy ``fused`` flag when given."""
     import functools
 
@@ -76,6 +78,8 @@ def pick_mc(bmodel: BayesianModel, fused: bool, estimator: Optional[str] = None)
             "antithetic": functools.partial(
                 bmodel.mc_apply_fused, antithetic=True
             ),
+            "local": bmodel.mc_apply_lrt,
+            "lrt": bmodel.mc_apply_lrt,
         }[estimator]
     except KeyError:
         raise ValueError(f"unknown estimator {estimator!r}") from None

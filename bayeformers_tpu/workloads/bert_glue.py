@@ -223,7 +223,7 @@ def train(
     # black box to the partitioner; nn/fused.py inserts the f/g collectives
     # around the weight-sharded kernels itself).
     mesh = None
-    use_shard_map = estimator in ("fused", "antithetic", "flipout")
+    use_shard_map = estimator in ("fused", "antithetic", "flipout", "local")
     tp_fused = False  # Megatron-sharded fused tier (shard_map dp x tp)
     if dp != 1 or tp != 1:
         if dp <= 0:
@@ -502,7 +502,7 @@ def main():
                              "with gradient accumulation (memory lever for "
                              "large batch/seq configs)")
     parser.add_argument("--estimator", default=None,
-                        choices=["fused", "naive", "flipout", "antithetic"],
+                        choices=["fused", "naive", "flipout", "antithetic", "local"],
                         help="MC gradient estimator for the Bayesian phase "
                              "(flipout: per-example decorrelated "
                              "perturbations — try --samples 1; antithetic: "

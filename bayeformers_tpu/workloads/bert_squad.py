@@ -432,7 +432,7 @@ def main():
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--no-fused", action="store_true")
     parser.add_argument("--estimator", default=None,
-                        choices=["fused", "naive", "flipout", "antithetic"],
+                        choices=["fused", "naive", "flipout", "antithetic", "local"],
                         help="MC gradient estimator for the Bayesian phase")
     parser.add_argument("--mc-chunk", type=int, default=None,
                         help="run the S MC samples in chunks of this size "

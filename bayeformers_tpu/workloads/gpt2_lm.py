@@ -334,7 +334,7 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--size", default="base", choices=["base", "tiny"])
     parser.add_argument("--estimator", default="naive",
-                        choices=["naive", "fused", "flipout", "antithetic"])
+                        choices=["naive", "fused", "flipout", "antithetic", "local"])
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--dp", type=int, default=1,

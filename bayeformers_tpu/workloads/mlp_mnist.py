@@ -199,7 +199,7 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--limit-batches", type=int, default=None)
     parser.add_argument("--estimator", default="naive",
-                        choices=["naive", "fused", "flipout", "antithetic"])
+                        choices=["naive", "fused", "flipout", "antithetic", "local"])
     args = parser.parse_args()
     t0 = time.time()
     results = train(

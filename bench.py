@@ -123,6 +123,7 @@ def bench_train(bmodel, bparams, inputs, labels, mode, n_samples=S):
         "naive": bmodel.mc_apply,
         "flipout": bmodel.mc_apply_flipout,
         "antithetic": functools.partial(bmodel.mc_apply_fused, antithetic=True),
+        "local": bmodel.mc_apply_lrt,
     }[mode]
 
     def step(state, i):
@@ -348,6 +349,15 @@ def main():
     results["flipout_s1_bf16"] = bench_train(
         bmodel16, bparams16, inputs, labels, "flipout", n_samples=1
     )
+    # local reparameterization (Kingma et al. 2015, nn/lrt.py): activation-
+    # space sampling — S=10 for the like-for-like step cost, S=1 for the
+    # regime the paper targets (LRT variance at S=1 ~ BBB at S>>1)
+    results["local_bf16"] = bench_train(
+        bmodel16, bparams16, inputs, labels, "local"
+    )
+    results["local_s1_bf16"] = bench_train(
+        bmodel16, bparams16, inputs, labels, "local", n_samples=1
+    )
     results["frequentist_floor_bf16"] = bench_frequentist_floor(inputs, labels)
 
     squad = bench_squad_chunked()
@@ -385,6 +395,12 @@ def main():
         ),
         "fused_vs_naive_same_dtype_bf16": round(
             results["naive_bf16"][0] / results["fused_bf16"][0], 4
+        ),
+        # activation-space estimator vs the reference-style weight-space
+        # tier at the same S and dtype (different estimator class — see
+        # nn/lrt.py; reported alongside, never as the headline)
+        "local_vs_naive_same_dtype_bf16": round(
+            results["naive_bf16"][0] / results["local_bf16"][0], 4
         ),
         "sampled_vs_dense_matmul_ratio_f32": round(micro["f32"][0], 4),
         "sampled_vs_dense_matmul_ratio_bf16": round(micro["bf16"][0], 4),

@@ -189,6 +189,43 @@ def _dp_shard(batch, mesh):
     )
 
 
+def test_shard_map_dp_local_matches_single_device():
+    """The local-reparameterization estimator under dp shard_map, in the
+    sigma->0 limit. Unlike the weight-space tiers, LRT's activation-noise
+    shapes depend on the LOCAL batch, so dp and single-device draws differ
+    by construction; at sigma->0 every estimator must collapse to the
+    frequentist forward and the dp step must reproduce the single-device
+    loss and parameter update exactly."""
+    import optax
+    from bayeformers_tpu import training
+    from bayeformers_tpu.parallel import train as ptrain
+    from bayeformers_tpu.utils.optim import masked_optimizer
+
+    bundle = bert_lib.build_bert(task="classification", n_labels=2, size="tiny")
+    params = jax.tree.map(
+        lambda a: jnp.where(a == 0, jnp.full_like(a, 0.01), a), bundle.params
+    )
+    bmodel, bp = bf.to_bayesian(bundle.apply_fn, params, delta=1e-6, freeze=True)
+    batch = bert_lib.synthetic_batch(np.random.default_rng(6), 16, 12, 1024, 2)
+    tx = masked_optimizer(optax.sgd(1e-3), bmodel.trainable_mask(bp))
+
+    single = training.make_elbo_train_step(bmodel, tx, 2, 10, estimator="local")
+    bp1, _, m1 = single(bp, tx.init(bp), jax.random.key(7), batch)
+
+    mesh_dp = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    step = ptrain.make_dp_train_step(bmodel, tx, 2, 10, mesh_dp, estimator="local")
+    bp_rep = ptrain.replicate(bp, mesh_dp)
+    bp2, _, m2 = step(bp_rep, tx.init(bp_rep), jax.random.key(7),
+                      _dp_shard(batch, mesh_dp))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-5)
+    path = "bert/encoder/layer/0/attention/self/query/kernel"
+    np.testing.assert_allclose(
+        np.asarray(bp1.rho[path]), np.asarray(bp2.rho[path]),
+        rtol=1e-4, atol=1e-7,
+    )
+
+
 @pytest.fixture(scope="module")
 def aligned_bert():
     """Tiny BERT whose tp=2 shard boundaries land on the 128-element eps-unit

@@ -1,13 +1,25 @@
-"""Verify drive: 4-phase recipe through the public API on the real TPU."""
+"""Verify drive: 4-phase recipe through the public API on the real TPU.
+
+``BAYEFORMERS_VERIFY_CPU=1`` forces the CPU backend — for tunnel-down
+windows only; the canonical drive is the real chip."""
+import os
 import time
-import jax, jax.numpy as jnp, numpy as np, optax
+import jax
+
+if os.environ.get("BAYEFORMERS_VERIFY_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, numpy as np, optax
 import flax.linen as nn
 
 import bayeformers_tpu as bf
 from bayeformers_tpu.utils.optim import masked_optimizer
 
 print("backend:", jax.default_backend(), jax.devices(), flush=True)
-assert jax.default_backend() != "cpu"
+if os.environ.get("BAYEFORMERS_VERIFY_CPU"):
+    print("!!! CPU-FORCED RUN (tunnel-down fallback), not the real chip",
+          flush=True)
+else:
+    assert jax.default_backend() != "cpu"
 
 # synthetic separable data
 rng = np.random.default_rng(0)
@@ -80,6 +92,16 @@ outa, auxa = bmodel.mc_apply_fused(bp, jax.random.key(3), 10, X, antithetic=True
 acca, _ = bf.elbo.accuracy_and_std(outa, y)
 print(f"antithetic acc={float(acca):.3f}", flush=True)
 assert float(acca) > 0.9
+
+# local reparameterization estimator (nn/lrt.py): MOPED eval preserves
+# accuracy, predictive spread matches the weight-space tier's scale
+outl, auxl = bmodel.mc_apply_lrt(bp, jax.random.key(4), 10, X)
+accl, _ = bf.elbo.accuracy_and_std(outl, y)
+std_l = float(jnp.std(outl.astype(jnp.float32), axis=0).mean())
+print(f"local acc={float(accl):.3f} logit-std={std_l:.4f} "
+      f"kl={float(auxl['kl']):.1f}", flush=True)
+assert float(accl) > 0.9 and std_l > 1e-4
+assert 0.2 < std_l / draw_std < 5.0, (std_l, draw_std)
 
 # Phase D: ELBO train, frozen mu bit-identical, loss trends down
 btx = masked_optimizer(optax.adam(1e-3), bmodel.trainable_mask(bp))
