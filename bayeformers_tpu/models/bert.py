@@ -273,6 +273,19 @@ def build_model(model_name: str, **kwargs) -> ModelBundle:
         kwargs.pop("n_labels", None)
         kwargs.pop("task", None)
         return build_t5(**kwargs)
+    for fam in ("llama", "mistral", "gemma"):
+        if fam in name:
+            from bayeformers_tpu.models.llama import build_llama_family
+
+            kwargs.pop("n_labels", None)
+            task = kwargs.pop("task", "causal-lm")
+            if task != "causal-lm":
+                raise ValueError(f"{fam} supports task='causal-lm'; got {task!r}")
+            return build_llama_family(fam, **kwargs)
+    if "vit" in name:
+        from bayeformers_tpu.models.vit import build_vit
+
+        return build_vit(**kwargs)
     if "distilbert" in name:
         return build_distilbert(**kwargs)
     if "roberta" in name or "camembert" in name:

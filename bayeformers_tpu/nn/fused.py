@@ -434,6 +434,10 @@ def fused_mc_apply(
         "FlaxBertSelfAttention",
         "FlaxRobertaSelfAttention",
         "FlaxElectraSelfAttention",  # HF 'Copied from' clone of BERT's
+        # ViT (models/vit.py): same q/k/v Dense trio, mask-free (images have
+        # no padding) — attention_mask arrives as None and the handler's
+        # zero bias reproduces the stock unmasked softmax
+        "FlaxViTSelfAttention",
     )
 
     def handle_albert_attention(mod, f_args, f_kwargs):
@@ -592,6 +596,109 @@ def fused_mc_apply(
         out = mod.resid_dropout(out, deterministic=deterministic)
         return (out,)
 
+    def handle_gqa_attention(mod, f_args, f_kwargs):
+        """LLaMA-architecture attention (FlaxLlama/Mistral/GemmaAttention —
+        models/llama.py): bias-free q/k/v/o Dense projections, rotary
+        position embeddings, grouped-query attention, causal masking. The
+        handler reproduces the stock block exactly: q/k/v/o ride
+        handle_dense (same eps streams and KL bookkeeping as the per-Dense
+        interception; Megatron col/row collectives under tp), rotary runs
+        through the module's OWN ``rotary_emb`` submodule (numerics
+        guaranteed identical to stock), k/v heads repeat to the full head
+        count after rotary (`modeling_flax_llama.py` jnp.repeat), and
+        attention runs through the layout-preserving mha op with IN-KERNEL
+        causal masking. KV-cache decode, attention-weight outputs, and a
+        Mistral sliding window narrower than the sequence fall back to the
+        stock path."""
+        hidden = f_args[0]
+        attention_mask = (
+            f_args[1] if len(f_args) > 1 else f_kwargs.get("attention_mask")
+        )
+        position_ids = (
+            f_args[2] if len(f_args) > 2 else f_kwargs.get("position_ids")
+        )
+        if position_ids is None:
+            return NotImplemented
+        if f_kwargs.get("init_cache", False) or mod.has_variable(
+            "cache", "cached_key"
+        ):
+            return NotImplemented
+        if f_kwargs.get("output_attentions", False):
+            return NotImplemented
+        deterministic = f_kwargs.get("deterministic", True)
+        p_drop = getattr(
+            getattr(mod, "config", None), "attention_dropout", 0.0
+        )
+        if not deterministic and p_drop > 0:
+            return NotImplemented
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            if SEP.join(mod.path + (name, "kernel")) not in bparams.rho:
+                return NotImplemented
+        n_heads = mod.num_heads
+        n_kv = mod.num_key_value_heads
+        d = mod.head_dim
+        if hidden.ndim != 3 or d % 8:
+            return NotImplemented
+        L = hidden.shape[1]
+        window = getattr(mod.config, "sliding_window", None)
+        if window and L > window:
+            # the banded causal mask would bite: stock path handles it
+            return NotImplemented
+        if attention_mask is None:
+            bias = jnp.zeros(hidden.shape[:2], jnp.float32)
+        elif attention_mask.ndim != 2:
+            return NotImplemented
+        else:
+            bias = ops_attention.mask_to_bias(attention_mask)
+        if tp is None:
+            n_heads_local, n_kv_local = n_heads, n_kv
+        else:
+            kinds = {
+                tp.kind_fn(SEP.join(getattr(mod, n).path + ("kernel",)))
+                for n in ("q_proj", "k_proj", "v_proj")
+            }
+            if kinds == {"rep"}:
+                n_heads_local, n_kv_local = n_heads, n_kv
+            elif kinds == {"col"}:
+                if n_heads % tp.size or n_kv % tp.size:
+                    raise ValueError(
+                        f"num_heads={n_heads} and num_key_value_heads="
+                        f"{n_kv} must both divide by tp={tp.size} "
+                        f"(attention {mod.path})"
+                    )
+                n_heads_local = n_heads // tp.size
+                n_kv_local = n_kv // tp.size
+            else:
+                raise ValueError(
+                    f"tp sharding of attention {mod.path} must column-shard "
+                    f"all of q/k/v or none; got kinds {kinds}"
+                )
+        q = handle_dense(mod.q_proj, hidden)  # (N, L, n_heads_local*d)
+        k = handle_dense(mod.k_proj, hidden)  # (N, L, n_kv_local*d)
+        v = handle_dense(mod.v_proj, hidden)
+        N = q.shape[0]
+        qh = q.reshape(N, L, n_heads_local, d)
+        kh = k.reshape(N, L, n_kv_local, d)
+        kh, qh = mod.rotary_emb(kh, qh, position_ids)
+        groups = n_heads // n_kv  # GQA repetition factor (tp-invariant)
+        vh = v.reshape(N, L, n_kv_local, d)
+        if groups > 1:
+            kh = jnp.repeat(kh, groups, axis=2)
+            vh = jnp.repeat(vh, groups, axis=2)
+        ctx = ops_attention.mha(
+            qh.reshape(N, L, n_heads_local * d),
+            kh.reshape(N, L, n_heads_local * d),
+            vh.reshape(N, L, n_heads_local * d),
+            bias, n_heads_local, causal=True,
+        )
+        return (handle_dense(mod.o_proj, ctx),)
+
+    gqa_attn_classes = (
+        "FlaxLlamaAttention",
+        "FlaxMistralAttention",
+        "FlaxGemmaAttention",
+    )
+
     def interceptor(next_fun, f_args, f_kwargs, context):
         mod = context.module
         if context.method_name != "__call__":
@@ -616,6 +723,11 @@ def fused_mc_apply(
             if out is not NotImplemented:
                 return out
             _tp_attention_error(mod, ("c_attn",))
+        if fuse_attention and type(mod).__name__ in gqa_attn_classes:
+            out = handle_gqa_attention(mod, f_args, f_kwargs)
+            if out is not NotImplemented:
+                return out
+            _tp_attention_error(mod, ("q_proj", "k_proj", "v_proj"))
         if isinstance(mod, nn.Dense):
             kpath = SEP.join(mod.path + ("kernel",))
             if kpath in bparams.rho:

@@ -176,9 +176,13 @@ def _pick_nb(L: int, H: int, itemsize: int, n_arrays: int) -> int | None:
 
 def pallas_fits(L: int, H: int, itemsize: int) -> bool:
     """True when BOTH the forward (5 arrays) and backward (8 arrays)
-    kernels fit VMEM at some block size."""
+    kernels fit VMEM at some block size, AND the sequence length is
+    8-aligned (Mosaic sublane granularity for the (L, H) blocks and (L, L)
+    score tiles; ViT's L = n_patches + 1 CLS — e.g. 197 — is not, and rides
+    the XLA implementation instead)."""
     return (
-        _pick_nb(L, H, itemsize, 5) is not None
+        L % 8 == 0
+        and _pick_nb(L, H, itemsize, 5) is not None
         and _pick_nb(L, H, itemsize, 8) is not None
     )
 

@@ -52,6 +52,11 @@ _TP_RULES: list[tuple[re.Pattern, P]] = [
     (re.compile(r"(?<!attention/)intermediate/dense/kernel$"), P(None, "tp")),
     (re.compile(r"intermediate/dense/bias$"), P("tp")),
     (re.compile(r"\d+/output/dense/kernel$"), P("tp", None)),
+    # ViT (attention module nests its q/k/v trio under attention/attention;
+    # attention-output and MLP paths match the shared encoder rules above)
+    (re.compile(r"attention/attention/(query|key|value)/kernel$"),
+     P(None, "tp")),
+    (re.compile(r"attention/attention/(query|key|value)/bias$"), P("tp")),
     # DistilBERT
     (re.compile(r"attention/[qkv]_lin/kernel$"), P(None, "tp")),
     (re.compile(r"attention/[qkv]_lin/bias$"), P("tp")),
@@ -115,6 +120,30 @@ def gpt2_tp_kind(path: str) -> str:
     return "rep"
 
 
+# LLaMA-architecture families (LLaMA/Mistral/Gemma, models/llama.py):
+# standard (in, out) nn.Dense kernels. Megatron roles: q/k/v + gate/up
+# column-parallel, o + down row-parallel. head_dim is never sharded, so a
+# column shard is automatically head-aligned (requires tp | num_heads and,
+# under GQA, tp | num_key_value_heads — enforced by the fused attention
+# handler, nn/fused.py::handle_gqa_attention). lm_head and embed_tokens
+# replicate. Bias rules included for attention_bias=True configs.
+_LLAMA_TP_RULES: list[tuple[re.Pattern, P]] = [
+    (re.compile(r"self_attn/[qkv]_proj/kernel$"), P(None, "tp")),
+    (re.compile(r"self_attn/[qkv]_proj/bias$"), P("tp")),
+    (re.compile(r"self_attn/o_proj/kernel$"), P("tp", None)),
+    (re.compile(r"mlp/(gate|up)_proj/kernel$"), P(None, "tp")),
+    (re.compile(r"mlp/(gate|up)_proj/bias$"), P("tp")),
+    (re.compile(r"mlp/down_proj/kernel$"), P("tp", None)),
+]
+
+
+def llama_param_spec(path: str) -> P:
+    for pattern, spec in _LLAMA_TP_RULES:
+        if pattern.search(path):
+            return spec
+    return P()  # embed_tokens, norms, lm_head: replicate
+
+
 # T5: standard (in, out) nn.Dense kernels, bias-free. Megatron roles:
 # q/k/v (self and cross) + DenseReluDense/wi column-parallel, o + wo
 # row-parallel. GSPMD TIER ONLY — T5's attention modules are not
@@ -148,6 +177,10 @@ def family_tp_fns(paths) -> tuple:
     paths = list(paths)
     if any("c_attn" in p for p in paths):
         return gpt2_param_spec, gpt2_tp_kind, True
+    if any("self_attn/q_proj" in p for p in paths):
+        return llama_param_spec, (
+            lambda path: kind_from_spec(llama_param_spec(path))
+        ), True
     if any("DenseReluDense" in p for p in paths):
         return t5_param_spec, (
             lambda path: kind_from_spec(t5_param_spec(path))

@@ -81,7 +81,8 @@ def lm_accuracy_and_std(mc_logits: jax.Array, input_ids: jax.Array):
 
 
 def train(
-    exp: str = "gpt2_lm",
+    exp: str | None = None,
+    model: str = "gpt2",
     logs: str = "logs",
     epochs: int = EPOCHS,
     b_epochs: int = B_EPOCHS,
@@ -104,12 +105,15 @@ def train(
     independent_draws: bool = False,
     **config_overrides,
 ) -> dict[str, float]:
+    exp = exp or f"{model}_lm"
     rng = np.random.default_rng(seed)
     # Multi-chip mesh: dp shards the batch (GSPMD in phase A, shard_map+psum
-    # in phase D); tp Megatron-shards the Conv1D kernels per
-    # parallel/mesh.py::gpt2_param_spec — the packed c_attn is first
-    # permuted head-aligned (permute_gpt2_qkv) so the fused tier's local
-    # q/k/v split lands on whole heads.
+    # in phase D); tp Megatron-shards the projection kernels per the
+    # family's rules (parallel/mesh.py::family_tp_fns). GPT-2's packed
+    # c_attn is first permuted head-aligned (permute_gpt2_qkv) so the fused
+    # tier's local q/k/v split lands on whole heads; the LLaMA-architecture
+    # families (llama/mistral/gemma) have separate per-head-aligned q/k/v
+    # projections and need no permutation.
     mesh = None
     tp_fused = False
     if dp != 1 or tp != 1:
@@ -123,14 +127,19 @@ def train(
         # packed c_attn shards correctly without it
         tp_fused = tp > 1 and estimator in ("fused", "antithetic")
         mesh = mesh_lib.make_mesh(dp, tp)
-        print(f"[gpt2_lm] mesh dp={dp} tp={tp}")
+        print(f"[{exp}] mesh dp={dp} tp={tp}")
 
     def shard(tree):
         return mesh_lib.shard_batch(tree, mesh) if mesh is not None else tree
-    bundle = gpt2_lib.build_gpt2(
-        size=size, seed=seed,
+    from bayeformers_tpu.models.bert import build_model
+
+    bundle = build_model(
+        model, size=size, seed=seed,
         dtype=jnp.bfloat16 if bf16 else jnp.float32, **config_overrides,
     )
+    # GPT-2's packed c_attn needs the head-aligned permutation under fused
+    # tp; the llama-architecture families do not
+    needs_qkv_perm = model.startswith("gpt")
     vocab = bundle.config.vocab_size
     train_ids = gpt2_lib.synthetic_lm_batch(
         rng, n_train, seq, vocab, order_frac
@@ -197,8 +206,9 @@ def train(
     bmodel, bparams = bf.to_bayesian(apply_fn, params, delta=delta, freeze=True)
     if mesh is not None:
         if tp_fused:
-            # head-aligned packed-QKV layout, then Megatron shards
-            bparams = mesh_lib.permute_gpt2_qkv(bparams, tp)
+            # head-aligned packed-QKV layout (GPT-2 only), then Megatron shards
+            if needs_qkv_perm:
+                bparams = mesh_lib.permute_gpt2_qkv(bparams, tp)
             bparams = mesh_lib.shard_bayes_params(bparams, mesh)
         elif tp > 1:
             # GSPMD tier: plain specs, no permutation (layout-only)
@@ -216,7 +226,9 @@ def train(
         undone so the stock attention split applies."""
         if tp_fused:
             full = parallel_lib.replicate(bparams, mesh)
-            return mesh_lib.permute_gpt2_qkv(full, tp, inverse=True)
+            if needs_qkv_perm:
+                full = mesh_lib.permute_gpt2_qkv(full, tp, inverse=True)
+            return full
         return bparams
 
     @jax.jit
@@ -318,8 +330,11 @@ def train(
 
 def main():
     parser = argparse.ArgumentParser(
-        description="Bayesian GPT-2 causal LM (TPU)"
+        description="Bayesian causal LM (TPU): GPT-2 or a LLaMA-architecture "
+                    "family (llama/mistral/gemma, models/llama.py)"
     )
+    parser.add_argument("--model", default="gpt2",
+                        choices=["gpt2", "llama", "mistral", "gemma"])
     parser.add_argument("--logs", default="logs")
     parser.add_argument("--epochs", type=int, default=EPOCHS)
     parser.add_argument("--b-epochs", type=int, default=B_EPOCHS)
@@ -347,6 +362,7 @@ def main():
     args = parser.parse_args()
     t0 = time.time()
     results = train(
+        model=args.model,
         logs=args.logs, epochs=args.epochs, b_epochs=args.b_epochs,
         samples=args.samples, batch_size=args.batch_size, seq=args.seq,
         n_train=args.n_train, n_test=args.n_test, lr=args.lr,

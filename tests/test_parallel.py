@@ -641,3 +641,53 @@ def test_t5_tp_rules_and_gspmd_sharded_matches_single_device():
         bp_sh, batch_sh, batch_sh["labels"]
     ))
     np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-4)
+
+
+@pytest.mark.parametrize("family", ["llama", "gemma"])
+def test_shard_map_dp_tp_llama_fused(family):
+    """Megatron dp=2 x tp=2 on the LLaMA-architecture families: at
+    near-zero sigma the sharded fused step's NLL must match the
+    frequentist NLL of the same batch — this exercises column-sharded
+    q/k/v with LOCAL GQA head counts (kv heads divide tp), rotary on local
+    heads, the in-kernel causal mha, the o/down row psums, and the sharded
+    KL path. GQA shard widths here (kv tiny = 2 heads x 32 = 64 per
+    device at tp=2) do NOT land on the 128-wide eps-unit grid, so this
+    also covers the decorrelated per-shard noise path. Gemma additionally
+    covers the decoupled head_dim + in-module sqrt(hidden) embedding
+    scaling."""
+    from bayeformers_tpu.models import llama as llama_lib
+    from bayeformers_tpu.parallel import train as ptrain
+    from bayeformers_tpu.workloads.gpt2_lm import lm_loss, lm_nll_sum
+    from bayeformers_tpu.models.gpt2 import synthetic_lm_batch
+
+    bundle = llama_lib.build_llama_family(family, size="tiny", seed=0)
+    params = jax.tree.map(
+        lambda a: jnp.where(a == 0, jnp.full_like(a, 0.01), a), bundle.params
+    )
+    ids = synthetic_lm_batch(
+        np.random.default_rng(0), 8, 16, bundle.config.vocab_size
+    )["input_ids"]
+    batch = {"input_ids": ids}
+
+    bmodel, bp = bf.to_bayesian(bundle.apply_fn, params, delta=1e-4,
+                                freeze=True)
+    mesh = mesh_lib.make_mesh(2, 2)
+    bp_sh = mesh_lib.shard_bayes_params(bp, mesh)
+    tx = masked_optimizer(optax.sgd(1e-3), bmodel.trainable_mask(bp))
+    step = ptrain.make_train_step(
+        bmodel, tx, 3, 10, mesh, loss_fn=lm_loss,
+        input_keys=("input_ids",), estimator="fused",
+    )
+    batch_sh = _dp_shard(batch, mesh)
+    bp2, opt2, m = step(bp_sh, tx.init(bp_sh), jax.random.key(3), batch_sh)
+
+    freq_nll = float(lm_nll_sum(bundle.apply_fn(params, ids), ids))
+    np.testing.assert_allclose(float(m["nll"]), freq_nll, rtol=2e-3)
+    assert np.isfinite(float(m["loss"]))
+    # tp leaves really are distributed and rho trains
+    ck = "model/layers/0/self_attn/k_proj/kernel"
+    assert len(bp2.rho[ck].sharding.device_set) == 4
+    assert not np.array_equal(np.asarray(bp2.rho[ck]),
+                              np.asarray(bp_sh.rho[ck]))
+    bp3, _, m3 = step(bp2, opt2, jax.random.key(4), batch_sh)
+    assert np.isfinite(float(m3["loss"]))

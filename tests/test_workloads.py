@@ -196,3 +196,21 @@ def test_gpt2_lm_dp_tp_fused_tiny(tmp_path):
     for k, v in results.items():
         assert np.isfinite(v), (k, v)
     assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1
+
+
+def test_llama_lm_dp_tp_fused_tiny(tmp_path):
+    """The causal-LM workload driving a LLaMA-architecture family end to
+    end on a dp=2 x tp=2 mesh with the fused estimator: separate q/k/v
+    projections (no QKV permutation), GQA local head counts, rotary inside
+    the fused attention handler, Megatron llama_param_spec sharding."""
+    from bayeformers_tpu.workloads import gpt2_lm
+
+    results = gpt2_lm.train(
+        model="llama",
+        logs=str(tmp_path), size="tiny", batch_size=4, seq=32, n_train=64,
+        n_test=32, samples=2, delta=0.01, estimator="fused",
+        limit_batches=3, dp=2, tp=2,
+    )
+    for k, v in results.items():
+        assert np.isfinite(v), (k, v)
+    assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1
