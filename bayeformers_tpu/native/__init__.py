@@ -1,8 +1,9 @@
-"""Native (C++) runtime tier: WordPiece tokenizer with ctypes bindings.
+"""Native (C++) runtime tier: WordPiece and GPT-2 byte-level BPE tokenizers
+with ctypes bindings.
 
-The shared library is compiled on first use with g++ (cached next to the
-source); a pure-Python fallback keeps everything working where no compiler
-exists. See wordpiece.cc for the implementation notes.
+The shared libraries are compiled on first use with g++ (cached next to the
+source); pure-Python fallbacks keep everything working where no compiler
+exists. See wordpiece.cc / bpe.cc for the implementation notes.
 """
 from __future__ import annotations
 
@@ -19,20 +20,24 @@ _SO_PATH = os.path.join(_SRC_DIR, "libwordpiece.so")
 _BUILD_LOCK = threading.Lock()
 
 
-def _build_library() -> Optional[str]:
-    src = os.path.join(_SRC_DIR, "wordpiece.cc")
+def _compile(src_name: str, so_path: str) -> Optional[str]:
+    src = os.path.join(_SRC_DIR, src_name)
     with _BUILD_LOCK:
-        if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) >= os.path.getmtime(src):
-            return _SO_PATH
+        if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(src):
+            return so_path
         try:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                 src, "-o", _SO_PATH],
+                 src, "-o", so_path],
                 check=True, capture_output=True, timeout=120,
             )
-            return _SO_PATH
+            return so_path
         except Exception:
             return None
+
+
+def _build_library() -> Optional[str]:
+    return _compile("wordpiece.cc", _SO_PATH)
 
 
 _lib = None
@@ -295,3 +300,353 @@ class _PyWordPiece:
                 ids.append(pid)
                 offsets.append((src[a], src[b - 1] + 1))
         return ids, offsets
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 byte-level BPE (bpe.cc)
+# ---------------------------------------------------------------------------
+
+_BPE_SO_PATH = os.path.join(_SRC_DIR, "libbpe.so")
+_bpe_lib = None
+_bpe_lib_tried = False
+
+
+def _get_bpe_lib():
+    global _bpe_lib, _bpe_lib_tried
+    if _bpe_lib is None and not _bpe_lib_tried:
+        _bpe_lib_tried = True
+        path = _compile("bpe.cc", _BPE_SO_PATH)
+        if path:
+            lib = ctypes.CDLL(path)
+            lib.bpe_load.restype = ctypes.c_void_p
+            lib.bpe_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+            lib.bpe_free.argtypes = [ctypes.c_void_p]
+            lib.bpe_vocab_size.restype = ctypes.c_int32
+            lib.bpe_vocab_size.argtypes = [ctypes.c_void_p]
+            lib.bpe_token_id.restype = ctypes.c_int32
+            lib.bpe_token_id.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ]
+            lib.bpe_encode.restype = ctypes.c_int64
+            lib.bpe_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ]
+            lib.bpe_decode.restype = ctypes.c_int64
+            lib.bpe_decode.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ]
+            lib.bpe_encode_batch.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32,
+            ]
+            _bpe_lib = lib
+    return _bpe_lib
+
+
+class BPETokenizer:
+    """GPT-2 byte-level BPE backed by the native library when available.
+
+    Consumes the stock HF artifacts (vocab.json + merges.txt);
+    ``encode(text)`` returns raw BPE ids with no special tokens (GPT-2 adds
+    none by default), ``decode(ids)`` is the lossless byte-level inverse,
+    ``encode_batch`` runs multithreaded in C++. The serving/causal-LM tiers
+    (models/gpt2.py, models/llama.py) consume the ids directly.
+
+    Unicode note (mirrored EXACTLY by the Python fallback so both backends
+    agree): the pre-tokenizer is category-exact for ASCII and Unicode
+    whitespace; other non-ASCII codepoints classify as letters — see
+    bpe.cc's header.
+    """
+
+    def __init__(self, vocab_path: str, merges_path: str,
+                 force_python: bool = False):
+        self.vocab_path, self.merges_path = vocab_path, merges_path
+        self._handle = None
+        self._lib = None if force_python else _get_bpe_lib()
+        if self._lib is not None:
+            self._handle = self._lib.bpe_load(
+                vocab_path.encode(), merges_path.encode()
+            )
+            if not self._handle:
+                self._lib = None
+        self._py = None if self._lib is not None else _PyBPE(
+            vocab_path, merges_path
+        )
+
+    @property
+    def backend(self) -> str:
+        return "native" if self._lib is not None else "python"
+
+    @property
+    def vocab_size(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.bpe_vocab_size(self._handle))
+        return len(self._py.id_to_token)
+
+    def token_id(self, token: str) -> int:
+        """Id of a literal token (e.g. ``"<|endoftext|>"``), -1 if absent.
+        The token is given in RAW text (not the mapped alphabet)."""
+        raw = token.encode("utf-8")
+        if self._lib is not None:
+            return int(self._lib.bpe_token_id(self._handle, raw, len(raw)))
+        return self._py.vocab.get(raw, -1)
+
+    def encode(self, text: str) -> list[int]:
+        if self._lib is None:
+            return self._py.encode(text)
+        data = text.encode("utf-8")
+        cap = max(64, len(data) + 8)
+        while True:
+            out = np.empty(cap, dtype=np.int32)
+            n = self._lib.bpe_encode(
+                self._handle, data,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+            )
+            if n <= cap:
+                return out[:n].tolist()
+            cap = int(n)
+
+    def decode(self, ids) -> str:
+        if self._lib is None:
+            return self._py.decode(ids)
+        arr = np.asarray(ids, dtype=np.int32)
+        cap = max(64, 8 * len(arr) + 8)
+        while True:
+            buf = ctypes.create_string_buffer(cap)
+            n = self._lib.bpe_decode(
+                self._handle,
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(arr), buf, cap,
+            )
+            if n <= cap:
+                return buf.raw[:n].decode("utf-8", errors="replace")
+            cap = int(n)
+
+    def encode_batch(
+        self, texts: list[str], capacity: int = 512, n_threads: int = 0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(ids [len(texts), capacity] int32, lengths [len(texts)] int64)."""
+        if self._lib is None:
+            ids = np.zeros((len(texts), capacity), np.int32)
+            lengths = np.zeros(len(texts), np.int64)
+            for i, text in enumerate(texts):
+                row = self._py.encode(text)
+                lengths[i] = len(row)
+                ids[i, : min(len(row), capacity)] = row[:capacity]
+            return ids, lengths
+        encoded = [t.encode("utf-8") for t in texts]
+        arr = (ctypes.c_char_p * len(texts))(*encoded)
+        ids = np.zeros((len(texts), capacity), np.int32)
+        lengths = np.zeros(len(texts), np.int64)
+        self._lib.bpe_encode_batch(
+            self._handle, arr, len(texts),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), capacity,
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_threads,
+        )
+        return ids, lengths
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and self._handle:
+            self._lib.bpe_free(self._handle)
+            self._handle = None
+
+
+def gpt2_byte_alphabet() -> dict[int, str]:
+    """The GPT-2 byte->unicode alphabet (HF ``bytes_to_unicode`` semantics):
+    printable/latin bytes map to themselves, the rest to 0x100+k in order."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_EXTRA_WS = {
+    0x0B, 0x0C, 0x1C, 0x1D, 0x1E, 0x1F, 0x85, 0xA0, 0x1680,
+    0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+}
+
+
+def _bpe_is_space(cp: int) -> bool:
+    return cp in (9, 10, 13, 32) or cp in _EXTRA_WS or 0x2000 <= cp <= 0x200A
+
+
+def _bpe_is_letter(cp: int) -> bool:
+    if cp < 0x80:
+        return 97 <= cp <= 122 or 65 <= cp <= 90
+    return not _bpe_is_space(cp)
+
+
+def _bpe_is_digit(cp: int) -> bool:
+    return 48 <= cp <= 57
+
+
+def bpe_pretokenize(text: str) -> list[str]:
+    """GPT-2's pre-tokenizer pattern, scanned manually (shared by the C++
+    and Python backends — see bpe.cc's header for the alternative order and
+    the trailing-whitespace semantics of ``\\s+(?!\\S)``)."""
+    cps = [ord(c) for c in text]
+    n = len(cps)
+    out: list[str] = []
+    p = 0
+    while p < n:
+        if cps[p] == 0x27 and p + 1 < n:  # contractions
+            c1 = cps[p + 1]
+            if c1 in (ord("s"), ord("t"), ord("m"), ord("d")):
+                out.append(text[p:p + 2])
+                p += 2
+                continue
+            if p + 2 < n:
+                two = text[p + 1:p + 3]
+                if two in ("re", "ve", "ll"):
+                    out.append(text[p:p + 3])
+                    p += 3
+                    continue
+        k = p + (1 if cps[p] == 32 and p + 1 < n else 0)
+        if k < n and _bpe_is_letter(cps[k]):
+            e = k
+            while e < n and _bpe_is_letter(cps[e]):
+                e += 1
+            out.append(text[p:e])
+            p = e
+            continue
+        if k < n and _bpe_is_digit(cps[k]):
+            e = k
+            while e < n and _bpe_is_digit(cps[e]):
+                e += 1
+            out.append(text[p:e])
+            p = e
+            continue
+        if k < n and not _bpe_is_space(cps[k]) and not _bpe_is_letter(cps[k]) \
+                and not _bpe_is_digit(cps[k]):
+            e = k
+            while e < n and not _bpe_is_space(cps[e]) \
+                    and not _bpe_is_letter(cps[e]) \
+                    and not _bpe_is_digit(cps[e]):
+                e += 1
+            out.append(text[p:e])
+            p = e
+            continue
+        if _bpe_is_space(cps[p]):
+            e = p
+            while e < n and _bpe_is_space(cps[e]):
+                e += 1
+            if e == n:
+                out.append(text[p:e])
+                p = e
+            elif e - p > 1:
+                out.append(text[p:e - 1])
+                p = e - 1
+            else:
+                out.append(text[p:e])
+                p = e
+            continue
+        out.append(text[p:p + 1])
+        p += 1
+    return out
+
+
+class _PyBPE:
+    """Pure-Python fallback with behavior identical to bpe.cc."""
+
+    def __init__(self, vocab_path: str, merges_path: str):
+        import json
+
+        alphabet = gpt2_byte_alphabet()
+        inv = {c: bytes([b]) for b, c in alphabet.items()}
+
+        def unmap(mapped: str) -> Optional[bytes]:
+            try:
+                return b"".join(inv[c] for c in mapped)
+            except KeyError:
+                return None  # added special tokens outside the alphabet
+
+        with open(vocab_path, encoding="utf-8") as fh:
+            raw_vocab = json.load(fh)
+        self.vocab: dict[bytes, int] = {}
+        max_id = -1
+        for tok, idx in raw_vocab.items():
+            raw = unmap(tok)
+            if raw is not None:
+                self.vocab[raw] = idx
+                max_id = max(max_id, idx)
+        self.id_to_token: list[bytes] = [b""] * (max_id + 1)
+        for raw, idx in self.vocab.items():
+            self.id_to_token[idx] = raw
+        self.ranks: dict[tuple[bytes, bytes], int] = {}
+        with open(merges_path, encoding="utf-8") as fh:
+            rank = 0
+            for line in fh:
+                line = line.rstrip("\r\n")
+                if not line or line.startswith("#"):
+                    continue
+                a, _, b = line.partition(" ")
+                ra, rb = unmap(a), unmap(b)
+                if ra is not None and rb is not None:
+                    self.ranks[(ra, rb)] = rank
+                    rank += 1
+        self._cache: dict[bytes, list[int]] = {}
+
+    def _bpe(self, word: bytes) -> list[int]:
+        cached = self._cache.get(word)
+        if cached is not None:
+            return cached
+        parts = [bytes([c]) for c in word]
+        while len(parts) > 1:
+            best = min(
+                ((self.ranks[p], i) for i, p in enumerate(zip(parts, parts[1:]))
+                 if p in self.ranks),
+                default=None,
+            )
+            if best is None:
+                break
+            _, i = best
+            a, b = parts[i], parts[i + 1]
+            merged: list[bytes] = []
+            j = 0
+            while j < len(parts):
+                if j + 1 < len(parts) and parts[j] == a and parts[j + 1] == b:
+                    merged.append(a + b)
+                    j += 2
+                else:
+                    merged.append(parts[j])
+                    j += 1
+            parts = merged
+        ids: list[int] = []
+        for piece in parts:
+            idx = self.vocab.get(piece)
+            if idx is not None:
+                ids.append(idx)
+            else:
+                ids.extend(
+                    self.vocab[bytes([c])] for c in piece
+                    if bytes([c]) in self.vocab
+                )
+        if len(self._cache) < (1 << 16):
+            self._cache[word] = ids
+        return ids
+
+    def encode(self, text: str) -> list[int]:
+        ids: list[int] = []
+        for tok in bpe_pretokenize(text):
+            ids.extend(self._bpe(tok.encode("utf-8")))
+        return ids
+
+    def decode(self, ids) -> str:
+        buf = b"".join(
+            self.id_to_token[i] for i in ids
+            if 0 <= i < len(self.id_to_token)
+        )
+        return buf.decode("utf-8", errors="replace")

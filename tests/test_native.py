@@ -112,3 +112,98 @@ def test_offsets_accent_folding(vocab_path):
     nat = WordPieceTokenizer(vocab_path)
     if nat.backend == "native":
         assert nat.tokenize_with_offsets(text) == (ids, offsets)
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 byte-level BPE (bayeformers_tpu/native/bpe.cc)
+# ---------------------------------------------------------------------------
+
+from bayeformers_tpu.native import BPETokenizer, gpt2_byte_alphabet  # noqa: E402
+
+# A small but complete GPT-2-style vocabulary: the full 256-byte alphabet
+# (ids 0..255) plus merge products — the same file format the stock
+# vocab.json/merges.txt use, written in the mapped alphabet.
+_MERGES = [
+    "h e", "l l", "he ll", "hell o", "Ġ w", "Ġw o", "r l", "Ġwo rl",
+    "Ġworl d", "Ġ t", "Ġt he", "1 2", "12 3", "t h", "th e", "' s",
+    "Ġ h", "Ġh e", "Ġhe ll", "Ġhell o", "! !",
+]
+
+_BPE_TEXTS = [
+    "hello world",
+    "the hello worlds",
+    "  hello   world ",
+    "hello's world 'til 're 've 'll",
+    "hello123 worlds!!",
+    "tabs\tand\nnewlines  end",
+    "punct?!... runs---",
+    "héllo wörld",   # non-ASCII letters
+    "trailing spaces   ",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def bpe_files(tmp_path_factory):
+    import json
+
+    d = tmp_path_factory.mktemp("bpe")
+    alphabet = gpt2_byte_alphabet()
+    vocab = {alphabet[b]: b for b in range(256)}
+    for i, merge in enumerate(_MERGES):
+        a, b = merge.split(" ")
+        vocab[a + b] = 256 + i
+    vocab["<|endoftext|>"] = 256 + len(_MERGES)
+    (d / "vocab.json").write_text(json.dumps(vocab, ensure_ascii=False),
+                                  encoding="utf-8")
+    (d / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(_MERGES) + "\n", encoding="utf-8"
+    )
+    return str(d / "vocab.json"), str(d / "merges.txt")
+
+
+@pytest.fixture(scope="module")
+def hf_bpe_ids(bpe_files):
+    from transformers import GPT2Tokenizer
+
+    tok = GPT2Tokenizer(*bpe_files)
+    return {t: tok(t)["input_ids"] for t in _BPE_TEXTS}
+
+
+def test_bpe_python_fallback_matches_hf(bpe_files, hf_bpe_ids):
+    tok = BPETokenizer(*bpe_files, force_python=True)
+    for text, expected in hf_bpe_ids.items():
+        assert tok.encode(text) == expected, repr(text)
+
+
+def test_bpe_native_matches_hf(bpe_files, hf_bpe_ids):
+    tok = BPETokenizer(*bpe_files)
+    if tok.backend != "native":
+        pytest.skip("no C++ compiler available")
+    for text, expected in hf_bpe_ids.items():
+        assert tok.encode(text) == expected, repr(text)
+    assert tok.vocab_size == 256 + len(_MERGES) + 1
+    assert tok.token_id("<|endoftext|>") == 256 + len(_MERGES)
+    assert tok.token_id("nonexistent-token") == -1
+
+
+def test_bpe_decode_roundtrip(bpe_files):
+    tok = BPETokenizer(*bpe_files)
+    for text in _BPE_TEXTS:
+        assert tok.decode(tok.encode(text)) == text, repr(text)
+    if tok.backend == "native":
+        py = BPETokenizer(*bpe_files, force_python=True)
+        for text in _BPE_TEXTS:
+            assert tok.encode(text) == py.encode(text), repr(text)
+
+
+def test_bpe_batch_encode(bpe_files):
+    tok = BPETokenizer(*bpe_files)
+    texts = _BPE_TEXTS * 7
+    ids, lengths = tok.encode_batch(texts, capacity=32, n_threads=3)
+    assert ids.shape == (len(texts), 32)
+    for i, t in enumerate(texts):
+        row = tok.encode(t)
+        assert lengths[i] == len(row)
+        np.testing.assert_array_equal(ids[i, : min(len(row), 32)],
+                                      row[:32])

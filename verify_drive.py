@@ -204,4 +204,26 @@ tout, taux = tbm.mc_apply_fused(tbp, jax.random.key(12), 2, **tb)
 assert tout.shape[:2] == (2, 2)
 assert np.isfinite(np.asarray(taux["log_variational_posterior"])).all()
 print("t5 fused tier on TPU ok", flush=True)
+# native tier: GPT-2 byte-level BPE (bpe.cc) — native backend build, HF file
+# format roundtrip, native==python backend agreement
+import json, tempfile
+from bayeformers_tpu.native import BPETokenizer, gpt2_byte_alphabet
+with tempfile.TemporaryDirectory() as td:
+    alphabet = gpt2_byte_alphabet()
+    merges = ["h e", "l l", "he ll", "hell o", "Ġ w", "Ġw o", "r l",
+              "Ġwo rl", "Ġworl d"]
+    vocab = {alphabet[b]: b for b in range(256)}
+    for i, m in enumerate(merges):
+        a, b = m.split(" ")
+        vocab[a + b] = 256 + i
+    vp, mp = f"{td}/vocab.json", f"{td}/merges.txt"
+    open(vp, "w").write(json.dumps(vocab, ensure_ascii=False))
+    open(mp, "w").write("#version: 0.2\n" + "\n".join(merges) + "\n")
+    bpe = BPETokenizer(vp, mp)
+    pybpe = BPETokenizer(vp, mp, force_python=True)
+    sample = "hello world  héllo\tworlds!! "
+    assert bpe.decode(bpe.encode(sample)) == sample
+    assert bpe.encode(sample) == pybpe.encode(sample)
+    print(f"native BPE ok (backend={bpe.backend})", flush=True)
+
 print("VERIFY OK", flush=True)
