@@ -20,9 +20,16 @@ vocab-bootstrap:
 	wget -nc -O $(DATASET)/bert-base-uncased-vocab.txt \
 		https://huggingface.co/bert-base-uncased/resolve/main/vocab.txt
 
+gpt2-bootstrap:
+	mkdir -p $(DATASET)/gpt2
+	wget -nc -P $(DATASET)/gpt2 https://huggingface.co/gpt2/resolve/main/vocab.json
+	wget -nc -P $(DATASET)/gpt2 https://huggingface.co/gpt2/resolve/main/merges.txt
+
 native:
 	g++ -O3 -std=c++17 -shared -fPIC -pthread \
 		bayeformers_tpu/native/wordpiece.cc -o bayeformers_tpu/native/libwordpiece.so
+	g++ -O3 -std=c++17 -shared -fPIC -pthread \
+		bayeformers_tpu/native/bpe.cc -o bayeformers_tpu/native/libbpe.so
 
 test:
 	python -m pytest tests/ -q
@@ -33,4 +40,4 @@ test-tpu:
 bench:
 	python bench.py
 
-.PHONY: squad-bootstrap mnist-bootstrap vocab-bootstrap native test test-tpu bench
+.PHONY: squad-bootstrap mnist-bootstrap vocab-bootstrap gpt2-bootstrap native test test-tpu bench

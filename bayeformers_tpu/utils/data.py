@@ -114,3 +114,72 @@ def batches(
 
 def num_batches(n: int, batch_size: int, drop_remainder: bool = True) -> int:
     return n // batch_size if drop_remainder else -(-n // batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Causal-LM text corpus (GPT-2 BPE via the native tokenizer tier)
+# ---------------------------------------------------------------------------
+
+def load_lm_corpus(
+    corpus: str, seq: int, *, vocab_json: str | None = None,
+    merges_txt: str | None = None, test_frac: float = 0.1, seed: int = 0,
+):
+    """Tokenize a real text corpus into packed causal-LM windows.
+
+    ``corpus`` is a ``.txt`` file or a directory of them (read in sorted
+    order). Documents are joined with ``<|endoftext|>`` when the vocab has
+    it (GPT-2 document-packing convention) and the id stream is chunked
+    into non-overlapping ``seq``-length windows — the same packing the
+    reference's HF pipelines produce, built here on the native BPE
+    tokenizer (`native/bpe.cc`) instead of a Python tokenizer.
+
+    ``vocab_json``/``merges_txt`` default to ``vocab.json``/``merges.txt``
+    next to the corpus, else ``dataset/gpt2/``. Returns
+    ``(train_ids, test_ids, vocab_size, eot_id)`` with int32 ``(N, seq)``
+    id arrays shuffled/split deterministically by ``seed``.
+    """
+    from bayeformers_tpu.native import BPETokenizer
+
+    if os.path.isdir(corpus):
+        paths = sorted(
+            os.path.join(corpus, f) for f in os.listdir(corpus)
+            if f.endswith(".txt")
+        )
+        base = corpus
+    else:
+        paths = [corpus]
+        base = os.path.dirname(corpus) or "."
+    if not paths:
+        raise FileNotFoundError(f"no .txt files under {corpus}")
+
+    def _find(explicit, name):
+        if explicit:
+            return explicit
+        for root in (base, os.path.join("dataset", "gpt2")):
+            cand = os.path.join(root, name)
+            if os.path.exists(cand):
+                return cand
+        raise FileNotFoundError(
+            f"{name} not found next to {corpus} or under dataset/gpt2/ "
+            "(run `make gpt2-bootstrap` or pass vocab_json/merges_txt)"
+        )
+
+    tok = BPETokenizer(_find(vocab_json, "vocab.json"),
+                       _find(merges_txt, "merges.txt"))
+    eot = tok.token_id("<|endoftext|>")
+    stream: list[int] = []
+    for path in paths:
+        with open(path, encoding="utf-8") as fh:
+            stream.extend(tok.encode(fh.read()))
+        if eot >= 0:
+            stream.append(eot)
+    n_win = len(stream) // seq
+    if n_win < 2:
+        raise ValueError(
+            f"corpus too small: {len(stream)} tokens < 2 windows of {seq}"
+        )
+    ids = np.asarray(stream[: n_win * seq], np.int32).reshape(n_win, seq)
+    order = np.random.default_rng(seed).permutation(n_win)
+    n_test = max(1, int(n_win * test_frac))
+    return (ids[order[n_test:]], ids[order[:n_test]], tok.vocab_size,
+            int(eot))

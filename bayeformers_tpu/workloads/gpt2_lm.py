@@ -9,7 +9,9 @@ Data is the synthetic Markov language from models/gpt2.py: a fixed random
 successor table followed with probability ``order_frac`` per step, so the
 Bayes-optimal next-token accuracy is ``order_frac + (1-order_frac)/V`` and
 convergence is checkable against a known ceiling (a memorizing model
-cannot beat it).
+cannot beat it). Pass ``--corpus path/to/text(.txt|dir)`` to train on real
+text instead, tokenized by the native GPT-2 BPE tier
+(`utils/data.py::load_lm_corpus`; artifacts via ``make gpt2-bootstrap``).
 
 Uncertainty metrics mirror the GLUE workload's: ``acc_std`` is the std of
 per-draw next-token accuracy across the S Monte-Carlo draws
@@ -103,6 +105,7 @@ def train(
     tp: int = 1,
     mc_chunk: int | None = None,
     independent_draws: bool = False,
+    corpus: str | None = None,
     **config_overrides,
 ) -> dict[str, float]:
     exp = exp or f"{model}_lm"
@@ -133,6 +136,14 @@ def train(
         return mesh_lib.shard_batch(tree, mesh) if mesh is not None else tree
     from bayeformers_tpu.models.bert import build_model
 
+    corpus_split = None
+    if corpus is not None:
+        from bayeformers_tpu.utils.data import load_lm_corpus
+
+        corpus_split = load_lm_corpus(corpus, seq, seed=seed)
+        # the embedding/LM-head must cover the tokenizer's id space
+        config_overrides.setdefault("vocab_size", corpus_split[2])
+
     bundle = build_model(
         model, size=size, seed=seed,
         dtype=jnp.bfloat16 if bf16 else jnp.float32, **config_overrides,
@@ -141,12 +152,25 @@ def train(
     # tp; the llama-architecture families do not
     needs_qkv_perm = model.startswith("gpt")
     vocab = bundle.config.vocab_size
-    train_ids = gpt2_lib.synthetic_lm_batch(
-        rng, n_train, seq, vocab, order_frac
-    )["input_ids"]
-    test_batch = gpt2_lib.synthetic_lm_batch(rng, n_test, seq, vocab, order_frac)
-    test_ids = test_batch["input_ids"]
-    bayes_rate = order_frac + (1 - order_frac) / vocab
+    if corpus_split is not None:
+        tr, te, tok_vocab, _ = corpus_split
+        if tok_vocab > vocab:
+            raise ValueError(
+                f"tokenizer vocab {tok_vocab} exceeds model vocab {vocab}"
+            )
+        train_ids = jnp.asarray(tr[:n_train] if n_train else tr)
+        test_ids = jnp.asarray(te[:n_test] if n_test else te)
+        n_train, n_test = len(train_ids), len(test_ids)
+        bayes_rate = None  # unknown for real text
+    else:
+        train_ids = gpt2_lib.synthetic_lm_batch(
+            rng, n_train, seq, vocab, order_frac
+        )["input_ids"]
+        test_batch = gpt2_lib.synthetic_lm_batch(
+            rng, n_test, seq, vocab, order_frac
+        )
+        test_ids = test_batch["input_ids"]
+        bayes_rate = order_frac + (1 - order_frac) / vocab
     n_batches = max(1, n_train // batch_size)
     if limit_batches:
         n_batches = min(n_batches, limit_batches)
@@ -194,12 +218,15 @@ def train(
                                                  shard(jnp.asarray(ids)))
                 report.update(nll=float(loss))
             nll, acc = f_eval(params, test_ids)
-            metrics = {"nll": float(nll) / n_tok, "acc": float(acc),
-                       "bayes_rate": bayes_rate}
+            metrics = {"nll": float(nll) / n_tok, "acc": float(acc)}
+            if bayes_rate is not None:
+                metrics["bayes_rate"] = bayes_rate
             writer.scalars("frequentist", metrics, epoch)
             dumper.record(**{f"epoch_{epoch}_{k}": v for k, v in metrics.items()})
+            ceiling = (f" (bayes rate {bayes_rate:.4f})"
+                       if bayes_rate is not None else "")
             print(f"[freq {epoch}] nll/tok={metrics['nll']:.4f} "
-                  f"acc={metrics['acc']:.4f} (bayes rate {bayes_rate:.4f})")
+                  f"acc={metrics['acc']:.4f}{ceiling}")
     freq_acc = metrics["acc"]
 
     # ---------------- Phase 2: MOPED conversion ----------------------------
@@ -324,7 +351,7 @@ def train(
     return {
         "freq_acc": freq_acc, "moped_acc": moped_acc,
         "bayesian_acc": metrics["acc"], "acc_std": metrics["acc_std"],
-        "bayes_rate": bayes_rate,
+        **({"bayes_rate": bayes_rate} if bayes_rate is not None else {}),
     }
 
 
@@ -359,6 +386,10 @@ def main():
                              "packed c_attn is head-align permuted)")
     parser.add_argument("--mc-chunk", type=int, default=None)
     parser.add_argument("--independent-draws", action="store_true")
+    parser.add_argument("--corpus", default=None,
+                        help="real-text corpus (.txt file or directory); "
+                             "tokenized by the native GPT-2 BPE tier, "
+                             "replaces the synthetic Markov language")
     args = parser.parse_args()
     t0 = time.time()
     results = train(
@@ -370,7 +401,7 @@ def main():
         size=args.size, estimator=args.estimator,
         limit_batches=args.limit_batches, bf16=args.bf16,
         dp=args.dp, tp=args.tp, mc_chunk=args.mc_chunk,
-        independent_draws=args.independent_draws,
+        independent_draws=args.independent_draws, corpus=args.corpus,
     )
     print(f"done in {time.time()-t0:.1f}s: {results}")
 

@@ -422,3 +422,71 @@ def test_tb_events_readable_by_real_tensorboard(tmp_path):
     assert events[1].step == 11
     assert events[1].summary.value[0].tag == "a/b"
     assert abs(events[1].summary.value[0].simple_value - 3.25) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# load_lm_corpus (real-text causal-LM data path over the native BPE tier)
+# ---------------------------------------------------------------------------
+
+def _write_bpe_corpus(root, text_a="hello world. ", text_b="the worlds!! ",
+                      reps=40):
+    """Tiny-but-complete GPT-2-format artifacts + two .txt docs under
+    ``root`` (vocab/merges next to the corpus, as load_lm_corpus expects)."""
+    from bayeformers_tpu.native import gpt2_byte_alphabet
+
+    merges = ["h e", "l l", "he ll", "hell o", "Ġ w", "Ġw o", "r l",
+              "Ġwo rl", "Ġworl d", "t h", "th e"]
+    alphabet = gpt2_byte_alphabet()
+    vocab = {alphabet[b]: b for b in range(256)}
+    for i, m in enumerate(merges):
+        a, b = m.split(" ")
+        vocab[a + b] = 256 + i
+    vocab["<|endoftext|>"] = 256 + len(merges)
+    (root / "vocab.json").write_text(json.dumps(vocab, ensure_ascii=False),
+                                     encoding="utf-8")
+    (root / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(merges) + "\n", encoding="utf-8")
+    (root / "a.txt").write_text(text_a * reps, encoding="utf-8")
+    (root / "b.txt").write_text(text_b * reps, encoding="utf-8")
+    return len(vocab)
+
+
+def test_load_lm_corpus_packs_and_splits(tmp_path):
+    from bayeformers_tpu.utils.data import load_lm_corpus
+
+    vocab_size = _write_bpe_corpus(tmp_path)
+    tr, te, v, eot = load_lm_corpus(str(tmp_path), seq=16, seed=3)
+    assert v == vocab_size and eot == vocab_size - 1
+    assert tr.dtype == np.int32 and tr.shape[1] == 16 and te.shape[1] == 16
+    assert len(te) >= 1 and len(tr) > len(te)
+    assert int(max(tr.max(), te.max())) < v
+    # documents are joined with <|endoftext|> (exactly one per doc)
+    assert int(np.sum(tr == eot) + np.sum(te == eot)) in (1, 2)
+    # deterministic split
+    tr2, te2, _, _ = load_lm_corpus(str(tmp_path), seq=16, seed=3)
+    np.testing.assert_array_equal(tr, tr2)
+    np.testing.assert_array_equal(te, te2)
+    # single-file form with explicit artifact paths
+    tr3, _, _, _ = load_lm_corpus(
+        str(tmp_path / "a.txt"), seq=16,
+        vocab_json=str(tmp_path / "vocab.json"),
+        merges_txt=str(tmp_path / "merges.txt"))
+    assert tr3.shape[1] == 16
+
+
+def test_load_lm_corpus_errors(tmp_path):
+    from bayeformers_tpu.utils.data import load_lm_corpus
+
+    _write_bpe_corpus(tmp_path, reps=1)
+    with pytest.raises(ValueError, match="too small"):
+        load_lm_corpus(str(tmp_path), seq=4096)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        load_lm_corpus(str(empty), seq=16)
+    # loose .txt with no artifacts anywhere -> actionable error
+    loose = tmp_path / "loose"
+    loose.mkdir()
+    (loose / "c.txt").write_text("hello", encoding="utf-8")
+    with pytest.raises(FileNotFoundError, match="gpt2-bootstrap"):
+        load_lm_corpus(str(loose), seq=4)

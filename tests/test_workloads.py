@@ -214,3 +214,27 @@ def test_llama_lm_dp_tp_fused_tiny(tmp_path):
     for k, v in results.items():
         assert np.isfinite(v), (k, v)
     assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1
+
+
+def test_gpt2_lm_real_corpus_tiny(tmp_path):
+    """The causal-LM workload on a REAL text corpus through the native BPE
+    tokenizer (utils/data.py::load_lm_corpus): the model vocab is taken
+    from the tokenizer, bayes_rate (a synthetic-language notion) is
+    omitted, and all 4 phases run end to end."""
+    from test_utils import _write_bpe_corpus
+    from bayeformers_tpu.workloads import gpt2_lm
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    vocab_size = _write_bpe_corpus(corpus, reps=400)
+    results = gpt2_lm.train(
+        logs=str(tmp_path), size="tiny", batch_size=4, seq=32, n_train=48,
+        n_test=16, samples=2, delta=0.01, estimator="antithetic",
+        limit_batches=3, corpus=str(corpus),
+    )
+    assert "bayes_rate" not in results
+    for k, v in results.items():
+        assert np.isfinite(v), (k, v)
+    # real text has exploitable structure; the MOPED model must keep the
+    # frequentist accuracy (same gate as the synthetic test)
+    assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1

@@ -225,5 +225,12 @@ with tempfile.TemporaryDirectory() as td:
     assert bpe.decode(bpe.encode(sample)) == sample
     assert bpe.encode(sample) == pybpe.encode(sample)
     print(f"native BPE ok (backend={bpe.backend})", flush=True)
+    # real-text causal-LM data path over the BPE tier
+    from bayeformers_tpu.utils.data import load_lm_corpus
+    open(f"{td}/doc.txt", "w").write("hello world " * 300)
+    tr_ids, te_ids, v, eot = load_lm_corpus(f"{td}/doc.txt", seq=16)
+    assert tr_ids.shape[1] == 16 and len(te_ids) >= 1 and tr_ids.max() < v
+    print(f"load_lm_corpus ok ({len(tr_ids)} train windows, vocab {v})",
+          flush=True)
 
 print("VERIFY OK", flush=True)
