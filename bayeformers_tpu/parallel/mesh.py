@@ -31,10 +31,19 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 from bayeformers_tpu.nn.surgery import BayesParams, SEP
 
 
-def make_mesh(dp: int, tp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Device mesh over ICI. Axes: ``dp`` (batch), ``tp`` (Megatron weight
+    sharding), and — only when ``sp > 1`` — ``sp`` (sequence/context
+    sharding of the token axis, GSPMD tier; see shard_batch). The ``sp``
+    axis is omitted at sp=1 so the two-axis shard_map tier is untouched."""
     devices = np.asarray(devices if devices is not None else jax.devices())
-    if dp * tp > devices.size:
-        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {devices.size}")
+    if dp * tp * sp > devices.size:
+        raise ValueError(
+            f"mesh {dp}x{tp}x{sp} needs {dp*tp*sp} devices, have {devices.size}"
+        )
+    if sp > 1:
+        return Mesh(devices[: dp * tp * sp].reshape(dp, tp, sp),
+                    ("dp", "tp", "sp"))
     return Mesh(devices[: dp * tp].reshape(dp, tp), ("dp", "tp"))
 
 
@@ -307,9 +316,23 @@ def bayes_param_specs(bparams: BayesParams, spec_fn=None) -> BayesParams:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every array leaf's leading (batch) axis over dp."""
-    sharding = NamedSharding(mesh, P("dp"))
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+    """Shard every array leaf's leading (batch) axis over dp; when the mesh
+    has an ``sp`` axis, additionally shard the second (sequence/token) axis
+    of rank>=2 leaves over it. Sequence parallelism is layout-only under
+    GSPMD — XLA inserts the collectives attention needs across the L
+    shards — so it composes with dp/tp on the naive tier with no model
+    changes (the Pallas shard_map tier is guarded in the workloads: its
+    kernels are opaque to the partitioner)."""
+    has_sp = "sp" in mesh.axis_names
+    dp_only = NamedSharding(mesh, P("dp"))
+    dp_sp = NamedSharding(mesh, P("dp", "sp")) if has_sp else dp_only
+
+    def put(a):
+        return jax.device_put(
+            a, dp_sp if (has_sp and getattr(a, "ndim", 0) >= 2) else dp_only
+        )
+
+    return jax.tree.map(put, batch)
 
 
 def param_shardings(bparams: BayesParams, mesh: Mesh, spec_fn=None):

@@ -173,6 +173,7 @@ def train(
     profile_dir: str | None = None,
     dp: int = 1,
     tp: int = 1,
+    sp: int = 1,
     estimator: str | None = None,
     mc_chunk: int | None = None,
     independent_draws: bool = False,
@@ -225,14 +226,21 @@ def train(
     mesh = None
     use_shard_map = estimator in ("fused", "antithetic", "flipout", "local")
     tp_fused = False  # Megatron-sharded fused tier (shard_map dp x tp)
-    if dp != 1 or tp != 1:
+    if sp > 1 and use_shard_map:
+        # GSPMD shards sequence by relabeling layouts; a Pallas kernel is a
+        # black box to the partitioner, so the fused tier cannot ride it
+        raise ValueError(
+            "sp>1 requires the GSPMD tier (--estimator naive): sequence "
+            "sharding is a GSPMD layout, opaque to the Pallas shard_map tier"
+        )
+    if dp != 1 or tp != 1 or sp != 1:
         if dp <= 0:
-            dp = len(jax.devices()) // tp
+            dp = len(jax.devices()) // (tp * sp)
         if batch_size % dp:
             raise ValueError(f"batch_size {batch_size} must divide dp={dp}")
         tp_fused = use_shard_map and tp != 1
-        mesh = mesh_lib.make_mesh(dp, tp)
-        print(f"[bert_glue] mesh dp={dp} tp={tp} "
+        mesh = mesh_lib.make_mesh(dp, tp, sp)
+        print(f"[bert_glue] mesh dp={dp} tp={tp} sp={sp} "
               f"({'shard_map+Pallas' if use_shard_map else 'GSPMD'})")
 
     def shard(batch):
@@ -520,6 +528,10 @@ def main():
                         help="tensor-parallel mesh size (Megatron sharding; "
                              "works with the fused Pallas tier via shard_map "
                              "and with the GSPMD tier)")
+    parser.add_argument("--sp", type=int, default=1,
+                        help="sequence-parallel mesh size (GSPMD tier only: "
+                             "shards the token axis of every rank>=2 batch "
+                             "leaf; XLA inserts attention's collectives)")
     parser.add_argument("--warmup", type=float, default=0.0,
                         help="linear-warmup fraction of total steps (0 = "
                              "reference behavior; random-init models need "
@@ -540,7 +552,7 @@ def main():
         pretrained=args.pretrained, seed=args.seed,
         limit_batches=args.limit_batches, fused=not args.no_fused,
         save_dir=args.save_dir, resume=args.resume,
-        profile_dir=args.profile_dir, dp=args.dp, tp=args.tp,
+        profile_dir=args.profile_dir, dp=args.dp, tp=args.tp, sp=args.sp,
         estimator=args.estimator, mc_chunk=args.mc_chunk,
         independent_draws=args.independent_draws, warmup=args.warmup,
     )

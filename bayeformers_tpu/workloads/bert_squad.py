@@ -179,6 +179,7 @@ def train(
     resume: bool = False,
     dp: int = 1,
     tp: int = 1,
+    sp: int = 1,
     estimator: str | None = None,
     mc_chunk: int | None = None,
     independent_draws: bool = False,
@@ -218,14 +219,19 @@ def train(
     # the vmapped tier); tp uses the Megatron rules (GSPMD tier only).
     mesh = None
     tp_fused = False  # Megatron-sharded fused tier (shard_map dp x tp)
-    if dp != 1 or tp != 1:
+    if sp > 1 and fused:
+        raise ValueError(
+            "sp>1 requires the GSPMD tier (--no-fused): sequence sharding "
+            "is a GSPMD layout, opaque to the Pallas shard_map tier"
+        )
+    if dp != 1 or tp != 1 or sp != 1:
         if dp <= 0:
-            dp = len(jax.devices()) // tp
+            dp = len(jax.devices()) // (tp * sp)
         if batch_size % dp:
             raise ValueError(f"batch_size {batch_size} must divide dp={dp}")
         tp_fused = fused and tp != 1
-        mesh = mesh_lib.make_mesh(dp, tp)
-        print(f"[bert_squad] mesh dp={dp} tp={tp} "
+        mesh = mesh_lib.make_mesh(dp, tp, sp)
+        print(f"[bert_squad] mesh dp={dp} tp={tp} sp={sp} "
               f"({'shard_map+Pallas' if fused else 'GSPMD'})")
 
     def shard(batch):
@@ -451,6 +457,10 @@ def main():
                         help="tensor-parallel mesh size (Megatron sharding; "
                              "works with the fused Pallas tier via shard_map "
                              "and with the GSPMD tier)")
+    parser.add_argument("--sp", type=int, default=1,
+                        help="sequence-parallel mesh size (GSPMD tier only: "
+                             "shards the 384-token axis; XLA inserts "
+                             "attention's collectives)")
     parser.add_argument("--independent-draws", action="store_true",
                         help="each dp shard draws its own MC sample set "
                              "(reference DataParallel semantics)")
@@ -466,7 +476,8 @@ def main():
         pretrained=args.pretrained, seed=args.seed,
         limit_batches=args.limit_batches, fused=not args.no_fused,
         estimator=args.estimator, mc_chunk=args.mc_chunk,
-        save_dir=args.save_dir, resume=args.resume, dp=args.dp, tp=args.tp,
+        save_dir=args.save_dir, resume=args.resume, dp=args.dp,
+        tp=args.tp, sp=args.sp,
         independent_draws=args.independent_draws,
     )
     t0 = time.time()

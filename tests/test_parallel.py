@@ -691,3 +691,57 @@ def test_shard_map_dp_tp_llama_fused(family):
                               np.asarray(bp_sh.rho[ck]))
     bp3, _, m3 = step(bp2, opt2, jax.random.key(4), batch_sh)
     assert np.isfinite(float(m3["loss"]))
+
+
+def test_sp_mesh_construction_and_batch_sharding():
+    """sp>1 adds a third mesh axis; shard_batch shards rank>=2 leaves
+    (B, L) over (dp, sp) and rank-1 leaves over dp only."""
+    mesh = mesh_lib.make_mesh(2, 2, 2)
+    assert mesh.shape == {"dp": 2, "tp": 2, "sp": 2}
+    # sp=1 keeps the two-axis mesh (shard_map tier compatibility)
+    assert mesh_lib.make_mesh(4, 2).shape == {"dp": 4, "tp": 2}
+    mesh = mesh_lib.make_mesh(2, 1, 4)
+    batch = {"input_ids": jnp.zeros((8, 16), jnp.int32),
+             "labels": jnp.zeros((8,), jnp.int32)}
+    sharded = mesh_lib.shard_batch(batch, mesh)
+    P = jax.sharding.PartitionSpec
+    assert sharded["input_ids"].sharding.spec == P("dp", "sp")
+    assert sharded["labels"].sharding.spec == P("dp")
+
+
+def test_sequence_parallel_gspmd_matches_single_device(tiny_bert):
+    """MC-ELBO loss with the token axis sharded over sp (GSPMD sequence
+    parallelism — layout only, XLA inserts attention's collectives): same
+    value as single-device, composed with dp and with tp."""
+    _, bmodel, bp = tiny_bert
+    batch = bert_lib.synthetic_batch(np.random.default_rng(7), 8, 16, 1024, 2)
+    labels = batch.pop("labels")
+
+    def loss_fn(bparams, inputs, labels):
+        out, aux = bmodel.mc_apply(bparams, jax.random.key(11), 2, **inputs)
+        nll = bf.elbo.cross_entropy_sum(bf.elbo.mc_logits_mean(out), labels)
+        return bf.elbo.elbo_loss(
+            nll, aux["log_prior"], aux["log_variational_posterior"], 10
+        )
+
+    loss_single = float(jax.jit(loss_fn)(bp, batch, labels))
+    for dp, tp, sp in ((2, 1, 4), (2, 2, 2), (1, 1, 8)):
+        mesh = mesh_lib.make_mesh(dp, tp, sp)
+        bp_sharded = mesh_lib.shard_bayes_params(bp, mesh)
+        inputs = mesh_lib.shard_batch(batch, mesh)
+        labels_s = mesh_lib.shard_batch(labels, mesh)
+        loss_sharded = float(jax.jit(loss_fn)(bp_sharded, inputs, labels_s))
+        np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-4,
+                                   err_msg=f"dp={dp} tp={tp} sp={sp}")
+
+
+def test_sp_refused_on_the_fused_tier(tmp_path):
+    """The workload CLIs must refuse sp>1 outside the GSPMD tier (Pallas
+    kernels are opaque to the partitioner) rather than mis-shard."""
+    from bayeformers_tpu.workloads import bert_glue
+
+    with pytest.raises(ValueError, match="GSPMD tier"):
+        bert_glue.train(
+            logs=str(tmp_path), size="tiny", batch_size=4, samples=2,
+            estimator="fused", sp=2, limit_batches=1,
+        )
