@@ -233,4 +233,30 @@ with tempfile.TemporaryDirectory() as td:
     print(f"load_lm_corpus ok ({len(tr_ids)} train windows, vocab {v})",
           flush=True)
 
+# pipeline parallelism: the GPipe shard_map schedule on a 1-device pp mesh
+# (the real chip) — compiles Pallas-inside-shard_map with ppermute/psum and
+# must reproduce the sequential stacked forward exactly
+from jax.sharding import NamedSharding, PartitionSpec as PS
+from bayeformers_tpu.parallel import pipeline as pp_lib
+stack = pp_lib.BlockStack(n_blocks=2, features=128)
+sparams = stack.init_stack(jax.random.key(3))
+px = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+pkey = jax.random.key(4)
+h_ref, lq_ref, lp_ref = px, 0.0, 0.0
+for l in range(2):
+    leaf = {k: v[l] for k, v in sparams.items()}
+    h_ref, lqi, lpi = stack.block_apply(leaf, pkey, jnp.int32(l), h_ref)
+    lq_ref, lp_ref = lq_ref + lqi, lp_ref + lpi
+pmesh = pp_lib.make_pp_mesh(1)
+fn = jax.shard_map(
+    lambda p, k, xx: pp_lib.pipeline_apply(stack, p, k, xx, pp=1,
+                                           n_microbatches=2),
+    mesh=pmesh, in_specs=(pp_lib.stack_specs(), PS(), PS()),
+    out_specs=(PS(), PS(), PS()), check_vma=False,
+)
+h_pp, lq_pp, lp_pp = jax.jit(fn)(sparams, pkey, px)
+np.testing.assert_allclose(np.asarray(h_pp), np.asarray(h_ref), rtol=2e-3,
+                           atol=2e-3)
+np.testing.assert_allclose(float(lq_pp), float(lq_ref), rtol=2e-3)
+print("pipeline parallel shard_map on TPU ok", flush=True)
 print("VERIFY OK", flush=True)
