@@ -31,6 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _trim_pad_columns(batch: dict) -> dict:
+    """Drop trailing all-pad token columns so short requests land in the
+    smallest sequence bucket that fits (featurizers pad to the largest)."""
+    true_l = max(1, int(np.asarray(batch["attention_mask"]).sum(-1).max()))
+    return {k: np.asarray(v)[:, :true_l] for k, v in batch.items()}
+
+
 def _bucket(value: int, sizes: tuple[int, ...], kind: str) -> int:
     for s in sorted(sizes):
         if value <= s:
@@ -215,6 +222,81 @@ class Predictor:
         if self.task == "qa":
             result["spans"] = self._decode_spans(result, n, features, contexts)
         return result
+
+    def predict_texts(self, texts: list, *, tokenizer, seed: int = 0) -> dict:
+        """Raw-string serving through the native tokenizer tier.
+
+        ``texts`` per task:
+
+        - ``classification``: list of strings or (sentence_a, sentence_b)
+          pairs — encoded ``[CLS] a [SEP] (b [SEP])`` with the GLUE
+          featurizer policy (utils/glue.py::featurize_pairs); ``tokenizer``
+          is a :class:`~bayeformers_tpu.native.WordPieceTokenizer`.
+        - ``qa``: list of (question, context) pairs — featurized with the
+          SQuAD doc-stride pipeline (utils/squad.py::featurize, first
+          window per question; shard longer contexts upstream); span
+          decoding and answer texts come back in ``spans`` automatically.
+        - ``causal-lm``: list of strings — raw BPE ids
+          (:class:`~bayeformers_tpu.native.BPETokenizer`), TAIL-truncated
+          to the largest sequence bucket (next-token prediction wants the
+          most recent tokens); the result additionally carries
+          ``topk_tokens``, the decoded candidate strings per request.
+        """
+        max_seq = max(self.seq_lens)
+        if self.task == "causal-lm":
+            rows = [tokenizer.encode(t)[-max_seq:] for t in texts]
+            L = max(1, max((len(r) for r in rows), default=1))
+            n = len(rows)
+            ids = np.full((n, L), self.pad_id, np.int32)
+            mask = np.zeros((n, L), np.int32)
+            for i, r in enumerate(rows):
+                ids[i, : len(r)] = r
+                mask[i, : len(r)] = 1
+            out = self({"input_ids": ids, "attention_mask": mask}, seed=seed)
+            out["topk_tokens"] = [
+                [tokenizer.decode([int(t)]) for t in row]
+                for row in out["topk_ids"]
+            ]
+            return out
+
+        cls_id = tokenizer.special_id("cls")
+        sep_id = tokenizer.special_id("sep")
+        if self.task == "qa":
+            from bayeformers_tpu.utils import squad as squad_lib
+
+            examples = [
+                {"qid": str(i), "question": q, "context": c, "answers": []}
+                for i, (q, c) in enumerate(texts)
+            ]
+            feats = squad_lib.featurize(
+                examples, tokenizer.tokenize, max_seq=max_seq,
+                cls_id=cls_id, sep_id=sep_id, pad_id=self.pad_id,
+                is_training=False,
+                offsets_fn=getattr(tokenizer, "tokenize_with_offsets", None),
+            )
+            by_qid = {}
+            for f in feats:  # first window per question (serving policy)
+                by_qid.setdefault(f["qid"], f)
+            feats = [by_qid[str(i)] for i in range(len(texts))]
+            batch = {
+                k: np.asarray([f[k] for f in feats], np.int32)
+                for k in ("input_ids", "attention_mask", "token_type_ids")
+            }
+            batch = _trim_pad_columns(batch)
+            return self(
+                batch, seed=seed, features=feats,
+                contexts=[c for _, c in texts],
+            )
+
+        from bayeformers_tpu.utils import glue as glue_lib
+
+        pairs = [t if isinstance(t, tuple) else (t, None) for t in texts]
+        batch = glue_lib.featurize_pairs(
+            pairs, [0] * len(pairs), tokenizer.tokenize, max_seq=max_seq,
+            cls_id=cls_id, sep_id=sep_id, pad_id=self.pad_id,
+        )
+        batch.pop("labels")
+        return self(_trim_pad_columns(batch), seed=seed)
 
     def _decode_spans(self, result, n, features, contexts):
         from bayeformers_tpu.utils import squad as squad_lib

