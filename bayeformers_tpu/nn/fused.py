@@ -48,12 +48,38 @@ def tile_samples(tree: Any, n_samples: int) -> Any:
     return jax.tree.map(tile, tree)
 
 
-def untile_samples(tree: Any, n_samples: int) -> Any:
-    """Inverse of :func:`tile_samples`: ``(S*B, ...) -> (S, B, ...)``."""
+def untile_samples(
+    tree: Any, n_samples: int, extra_axes: tuple[int, ...] = ()
+) -> Any:
+    """Inverse of :func:`tile_samples`: ``(S*B, ...) -> (S, B, ...)``.
+
+    ``extra_axes`` (axis indices in the model's natural, untiled output
+    coordinates, each > 0) marks additional output axes that are S-tiled
+    because the model couples two tiled batches into one output — e.g.
+    CLIP's ``logits_per_image (B_img, B_txt)`` computed on tiled batches as
+    ``(S*B_img, S*B_txt)``: pass ``(1,)``. Only same-sample pairings are
+    meaningful, so for each such axis the per-sample diagonal block is
+    extracted: axis k of size S*Bk becomes size Bk, keeping entries whose
+    sample index matches the leading sample axis.
+    """
     def untile(a):
         if not hasattr(a, "shape") or a.ndim == 0:
             return a
-        return a.reshape((n_samples, a.shape[0] // n_samples) + a.shape[1:])
+        a = a.reshape((n_samples, a.shape[0] // n_samples) + a.shape[1:])
+        # natural-output axis k sits at k+1 once the sample axis is prepended
+        for ax in sorted(ax + 1 for ax in extra_axes):
+            bk = a.shape[ax] // n_samples
+            # (S, ..., S, Bk, ...): pick the matching-sample diagonal block
+            a = a.reshape(a.shape[:ax] + (n_samples, bk) + a.shape[ax + 1:])
+            a = jnp.take_along_axis(
+                a,
+                jnp.arange(n_samples).reshape(
+                    (n_samples,) + (1,) * (a.ndim - 1)
+                ),
+                axis=ax,
+            )
+            a = jnp.squeeze(a, axis=ax)
+        return a
     return jax.tree.map(untile, tree)
 
 
@@ -108,11 +134,15 @@ def fused_mc_apply(
     antithetic: bool = False,
     fuse_attention: bool | None = None,
     tp=None,
+    untile_axes: tuple[int, ...] = (),
     **kwargs,
 ):
     """S-sample fused forward. Returns ``(outputs, aux)`` like
     ``BayesianModel.mc_apply``: outputs have a leading (S, B, ...) axis and
     aux carries (S,)-shaped ``log_prior`` / ``log_variational_posterior``.
+
+    ``untile_axes``: extra S-tiled output axes for dual-batch models (see
+    :func:`untile_samples`); e.g. ``(1,)`` for CLIP similarity logits.
 
     ``antithetic=True`` (extension): samples (2t, 2t+1) share one weight
     draw with opposite signs (w = mu ± sigma*eps) — classic antithetic
@@ -764,7 +794,7 @@ def fused_mc_apply(
         # replicated leaves were already counted exactly once per device
         log_q = log_q + coll.reduce_from_shards(lq_sh, tp.axis)
         log_p = log_p + coll.reduce_from_shards(lp_sh, tp.axis)
-    return untile_samples(out, S), {
+    return untile_samples(out, S, untile_axes), {
         "log_prior": log_p,
         "log_variational_posterior": log_q,
     }

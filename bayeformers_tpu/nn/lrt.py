@@ -64,6 +64,7 @@ def lrt_mc_apply(
     n_samples: int,
     *args,
     kl_draws: int = KL_DRAWS,
+    untile_axes: tuple[int, ...] = (),
     **kwargs,
 ):
     """S local-reparameterization forwards as one super-batched pass.
@@ -182,4 +183,4 @@ def lrt_mc_apply(
         "log_prior": jnp.broadcast_to(-kl, (S,)),
         "log_variational_posterior": jnp.zeros((S,), jnp.float32),
     }
-    return untile_samples(out, S), aux
+    return untile_samples(out, S, untile_axes), aux
