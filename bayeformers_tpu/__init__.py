@@ -14,6 +14,7 @@ from bayeformers_tpu.nn.surgery import (
     BayesParams,
     ConversionRule,
     ConversionSpec,
+    CONV_RULE,
     DEFAULT_RULES,
     EMBEDDING_RULE,
     LINEAR_RULE,
@@ -34,6 +35,7 @@ __all__ = [
     "BayesianModel",
     "BayesParams",
     "ConversionRule",
+    "CONV_RULE",
     "ConversionSpec",
     "DEFAULT_RULES",
     "DEFAULT_SCALE_MIXTURE",

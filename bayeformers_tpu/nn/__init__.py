@@ -3,6 +3,7 @@ from bayeformers_tpu.nn.surgery import (  # noqa: F401
     BayesParams,
     ConversionRule,
     ConversionSpec,
+    CONV_RULE,
     DEFAULT_RULES,
     EMBEDDING_RULE,
     LINEAR_RULE,

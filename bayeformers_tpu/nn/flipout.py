@@ -37,7 +37,12 @@ import jax.numpy as jnp
 
 from bayeformers_tpu.core import distributions as dist
 from bayeformers_tpu.core import prior as prior_lib
-from bayeformers_tpu.nn.fused import SEP, tile_samples, untile_samples
+from bayeformers_tpu.nn.fused import (
+    SEP,
+    lower_conv,
+    tile_samples,
+    untile_samples,
+)
 from bayeformers_tpu.ops import common as ops_common
 from bayeformers_tpu.ops import sampled_linear as ops_linear
 
@@ -107,21 +112,13 @@ def flipout_mc_apply(
             spec, bparams, mixture, kl_draws, path, mu, sigma, k, transposed
         )
 
-    def handle_dense(mod, x, transposed: bool = False):
-        """``transposed=True``: GPT-2's FlaxConv1D stores (out, in) — same
-        orientation handling as the fused tier (nn/fused.py)."""
-        kpath = SEP.join(mod.path + ("kernel",))
-        mu = mod.variables["params"]["kernel"]
-        rho = bparams.rho[kpath]
-        if transposed:
-            mu, rho = mu.T, rho.T
-        sigma = dist.sigma_from_rho(rho)
-        k = layer_key(path_index[kpath])
-        lead, K = x.shape[:-1], x.shape[-1]
-        N = mu.shape[1]
-        xs = x.reshape(S, -1, K)
+    def _flip_core(kpath, mu, rho, xs, k):
+        """Shared flipout perturbation math for handle_dense / handle_conv:
+        ``xs`` is (S, M, K), ``mu``/``rho`` (K, N) in the orientation that
+        defines the perturbation draw. Returns y (S, M, N); KL and bias are
+        the caller's job."""
+        K, N = mu.shape
         M = xs.shape[1]
-
         r = _rademacher(jax.random.fold_in(k, 2), (S, M, K))
         s_out = _rademacher(jax.random.fold_in(k, 3), (S, M, N))
         # perturbation matmul (x*r) @ (sigma*eps) == sampled_dense with mu=0:
@@ -133,28 +130,67 @@ def flipout_mc_apply(
         )
         x_r = (xs * r.astype(xs.dtype)).astype(xs.dtype)
         pert = ops_linear.sampled_dense(x_r, jnp.zeros_like(mu), rho, seeds)
-        y = xs @ mu.astype(xs.dtype) + pert.astype(xs.dtype) * s_out.astype(
+        return xs @ mu.astype(xs.dtype) + pert.astype(xs.dtype) * s_out.astype(
             xs.dtype
         )
 
+    def _flip_bias(y, mod, k, M):
+        bpath = SEP.join(mod.path + ("bias",))
+        bmu = mod.variables["params"]["bias"]
+        brho = bparams.rho[bpath]
+        bsig = dist.sigma_from_rho(brho)
+        beps = jax.random.normal(
+            jax.random.fold_in(k, 4), (S,) + bmu.shape, bmu.dtype
+        )
+        bs = _rademacher(jax.random.fold_in(k, 5), (S, M, bmu.shape[0]))
+        y = y + bmu[None, None, :] + (bsig[None] * beps)[:, None, :] * bs
+        if bpath not in seen:
+            seen.add(bpath)
+            kl_terms.append(leaf_kl(bpath, bmu, bsig, jax.random.fold_in(k, 6)))
+        return y
+
+    def handle_dense(mod, x, transposed: bool = False):
+        """``transposed=True``: GPT-2's FlaxConv1D stores (out, in) — same
+        orientation handling as the fused tier (nn/fused.py)."""
+        kpath = SEP.join(mod.path + ("kernel",))
+        mu = mod.variables["params"]["kernel"]
+        rho = bparams.rho[kpath]
+        if transposed:
+            mu, rho = mu.T, rho.T
+        k = layer_key(path_index[kpath])
+        lead = x.shape[:-1]
+        xs = x.reshape(S, -1, x.shape[-1])
+        y = _flip_core(kpath, mu, rho, xs, k)
         if kpath not in seen:
             seen.add(kpath)
-            kl_terms.append(leaf_kl(kpath, mu, sigma, k, transposed))
-
-        if mod.use_bias:
-            bpath = SEP.join(mod.path + ("bias",))
-            bmu = mod.variables["params"]["bias"]
-            brho = bparams.rho[bpath]
-            bsig = dist.sigma_from_rho(brho)
-            beps = jax.random.normal(
-                jax.random.fold_in(k, 4), (S,) + bmu.shape, bmu.dtype
+            kl_terms.append(
+                leaf_kl(kpath, mu, dist.sigma_from_rho(rho), k, transposed)
             )
-            bs = _rademacher(jax.random.fold_in(k, 5), (S, M, bmu.shape[0]))
-            y = y + bmu[None, None, :] + (bsig[None] * beps)[:, None, :] * bs
-            if bpath not in seen:
-                seen.add(bpath)
-                kl_terms.append(leaf_kl(bpath, bmu, bsig, jax.random.fold_in(k, 6)))
-        return y.reshape(lead + (N,))
+        if mod.use_bias:
+            y = _flip_bias(y, mod, k, xs.shape[1])
+        return y.reshape(lead + (mu.shape[1],))
+
+    def handle_conv(mod, x):
+        """Bayesian ``nn.Conv`` (CONV_RULE extension) via the shared im2col
+        lowering (nn/fused.py::lower_conv): the flipout perturbation rides
+        the patches matmul. KL is scored on the original (*k, cin, cout)
+        leaves (elementwise sums are layout-invariant)."""
+        kpath, mu4, reorder, patches, out_spatial = lower_conv(
+            mod, x, bparams.rho
+        )
+        rho4 = bparams.rho[kpath]
+        mu, rho = reorder(mu4), reorder(rho4)
+        k = layer_key(path_index[kpath])
+        xs = patches.reshape(S, -1, patches.shape[-1])
+        y = _flip_core(kpath, mu, rho, xs, k)
+        if kpath not in seen:
+            seen.add(kpath)
+            kl_terms.append(
+                leaf_kl(kpath, mu4, dist.sigma_from_rho(rho4), k)
+            )
+        if mod.use_bias:
+            y = _flip_bias(y, mod, k, xs.shape[1])
+        return y.reshape((x.shape[0],) + out_spatial + (mu.shape[1],))
 
     def interceptor(next_fun, f_args, f_kwargs, context):
         mod = context.module
@@ -165,6 +201,8 @@ def flipout_mc_apply(
                 return handle_dense(mod, f_args[0])
             if type(mod).__name__ == "FlaxConv1D":
                 return handle_dense(mod, f_args[0], transposed=True)
+            if isinstance(mod, nn.Conv):
+                return handle_conv(mod, f_args[0])
         return next_fun(*f_args, **f_kwargs)
 
     tiled_args = tile_samples(args, S)

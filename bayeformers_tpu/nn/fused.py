@@ -83,6 +83,76 @@ def untile_samples(
     return jax.tree.map(untile, tree)
 
 
+def lower_conv(mod, x: jax.Array, rho_tree) -> tuple:
+    """im2col lowering of a converted ``nn.Conv`` (CONV_RULE extension).
+
+    Returns ``(kpath, mu, reorder, patches, out_spatial)``: the conv becomes
+    ``patches @ reorder(kernel)`` where ``patches`` (from
+    ``lax.conv_general_dilated_patches``) carries a trailing channel-major
+    feature dim of size ``cin * prod(kernel_size)`` and ``reorder`` maps any
+    ``(*kernel_size, cin, cout)`` leaf (mu, rho, prior_mu) into the matching
+    ``(K, cout)`` layout. This is the TPU-first mapping: XLA rewrites the
+    patch extraction into layout moves and the FLOPs land in one large MXU
+    contraction that the fused sampled-matmul kernels already own.
+
+    Unsupported configurations raise instead of falling back: the leaf is
+    *converted*, so running the stock module would silently use ``mu`` with
+    no KL contribution.
+    """
+    kpath = SEP.join(mod.path + ("kernel",))
+    mu = mod.variables["params"]["kernel"]
+    nd = mu.ndim - 2
+    ksize = tuple(mu.shape[:nd])
+    cout = mu.shape[-1]
+    if getattr(mod, "feature_group_count", 1) != 1:
+        raise NotImplementedError(
+            f"converted conv {kpath}: feature_group_count>1 has no Bayesian "
+            "lowering here; exclude the layer from the conversion rules"
+        )
+    if x.ndim != nd + 2:
+        raise NotImplementedError(
+            f"converted conv {kpath}: expected batched (N, *spatial, C) "
+            f"input, got ndim={x.ndim}"
+        )
+
+    def tup(v):
+        if v is None:
+            return (1,) * nd
+        if isinstance(v, int):
+            return (v,) * nd
+        return tuple(v)
+
+    padding = mod.padding
+    if isinstance(padding, str):
+        padding = padding.upper()
+        if padding not in ("SAME", "VALID", "SAME_LOWER"):
+            raise NotImplementedError(
+                f"converted conv {kpath}: padding={mod.padding!r} is not "
+                "supported by the Bayesian lowering"
+            )
+    elif isinstance(padding, int):
+        padding = ((padding, padding),) * nd
+    else:
+        padding = tuple(
+            (p, p) if isinstance(p, int) else tuple(p) for p in padding
+        )
+    spatial = "DHW"[3 - nd:]
+    dn = ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+    patches = jax.lax.conv_general_dilated_patches(
+        x, ksize, tup(mod.strides), padding,
+        lhs_dilation=tup(mod.input_dilation),
+        rhs_dilation=tup(mod.kernel_dilation),
+        dimension_numbers=dn,
+    )
+    K = patches.shape[-1]
+
+    def reorder(a):
+        # patch features are channel-major (cin, *kernel_size)
+        return jnp.moveaxis(a, -2, 0).reshape(K, cout)
+
+    return kpath, mu, reorder, patches, tuple(patches.shape[1:-1])
+
+
 def _unit_bias_eps(bkey: jax.Array, n_draws: int, n: int, n0) -> jax.Array:
     """(n_draws, n) standard normals in absolute 128-wide units.
 
@@ -243,24 +313,15 @@ def fused_mc_apply(
         pair = jnp.stack([a_half, -a_half], axis=1)
         return pair.reshape((-1,) + a_half.shape[1:])
 
-    def handle_dense(mod, x, transposed: bool = False):
-        """``transposed=True``: the module stores its kernel as (out, in) —
-        GPT-2's FlaxConv1D (`modeling_flax_gpt2.FlaxConv1D` computes
-        ``x @ kernel.T``). The fused op wants (in, out), so mu/rho (and
-        prior_mu) are transposed here — one XLA transpose per leaf per step
-        (two extra streams over the layer's params); the sampled math and
-        KL sums are orientation-invariant, though the eps stream is defined
-        in the transposed orientation (so fused-tier draws differ from the
-        naive tier's (out, in)-oriented stream for these layers)."""
-        kpath = SEP.join(mod.path + ("kernel",))
-        mu = mod.variables["params"]["kernel"]
-        rho = bparams.rho[kpath]
-        if transposed:
-            mu, rho = mu.T, rho.T
+    def _route_matmul(kpath, mu, rho, prior_mu_t, xs):
+        """Shared sampled-matmul core of handle_dense / handle_conv: tp
+        plan, per-layer seeds, the fused Pallas matmul+KL op, Megatron
+        collectives, and the collected-KL bookkeeping. ``xs`` is (S, M, K);
+        ``mu``/``rho`` are (K, N) in the orientation that DEFINES the eps
+        stream; ``prior_mu_t`` is the same-orientation MOPED prior center
+        (needed only when mu is trainable). Returns (y, new_leaf, kind)."""
         kind, offsets, decor = _tp_kernel_plan(kpath, mu.shape)
         seeds = layer_seeds(path_index[kpath], decorrelate=decor)
-        lead, K = x.shape[:-1], x.shape[-1]
-        xs = x.reshape(S, -1, K)
         if kind == "col":
             # Megatron f: replicated activation consumed by sharded branches
             xs = coll.copy_to_shards(xs, tp.axis)
@@ -274,9 +335,7 @@ def fused_mc_apply(
             )
         elif spec.moped:
             y, lq, lp = ops_fused.bayes_linear(
-                xs, mu, rho, seeds,
-                prior_mu=(bparams.prior_mu[kpath].T if transposed
-                          else bparams.prior_mu[kpath]),
+                xs, mu, rho, seeds, prior_mu=prior_mu_t,
                 save_weights=save_weights, antithetic=antithetic,
                 unit_offsets=offsets,
             )
@@ -293,37 +352,89 @@ def fused_mc_apply(
         if new_leaf:
             seen.add(kpath)
             collected.append((lq, lp, kind != "rep"))
+        return y, new_leaf, kind
+
+    def handle_dense(mod, x, transposed: bool = False):
+        """``transposed=True``: the module stores its kernel as (out, in) —
+        GPT-2's FlaxConv1D (`modeling_flax_gpt2.FlaxConv1D` computes
+        ``x @ kernel.T``). The fused op wants (in, out), so mu/rho (and
+        prior_mu) are transposed here — one XLA transpose per leaf per step
+        (two extra streams over the layer's params); the sampled math and
+        KL sums are orientation-invariant, though the eps stream is defined
+        in the transposed orientation (so fused-tier draws differ from the
+        naive tier's (out, in)-oriented stream for these layers)."""
+        kpath = SEP.join(mod.path + ("kernel",))
+        mu = mod.variables["params"]["kernel"]
+        rho = bparams.rho[kpath]
+        if transposed:
+            mu, rho = mu.T, rho.T
+        prior_mu_t = None
+        if spec.moped and not spec.frozen:
+            pm = bparams.prior_mu[kpath]
+            prior_mu_t = pm.T if transposed else pm
+        lead, K = x.shape[:-1], x.shape[-1]
+        xs = x.reshape(S, -1, K)
+        y, new_leaf, kind = _route_matmul(kpath, mu, rho, prior_mu_t, xs)
         if mod.use_bias:
-            bpath = SEP.join(mod.path + ("bias",))
-            bmu = mod.variables["params"]["bias"]
-            brho = bparams.rho[bpath]
-            bkind = "col" if kind == "col" else "rep"
-            bkey = jax.random.fold_in(key, path_index[bpath])
-            if bkind == "col":
-                if bmu.shape[0] % 128 == 0:
-                    b0 = jax.lax.axis_index(tp.axis) * bmu.shape[0]
-                else:
-                    bkey = jax.random.fold_in(
-                        bkey, jax.lax.axis_index(tp.axis)
-                    )
-                    b0 = None
-            else:
-                b0 = None
-            beps = _unit_bias_eps(bkey, n_draws, bmu.shape[0], b0).astype(
-                bmu.dtype
-            )
-            if antithetic:
-                beps = interleave(beps)
-            bsig = dist.sigma_from_rho(brho)
-            b = bmu[None] + bsig[None] * beps
-            y = y + b[:, None, :].astype(y.dtype)  # keep bf16 activations bf16
-            lq_b, lp_b = _bias_logprobs(
-                b, bmu, bsig, beps,
-                bparams.prior_mu.get(bpath) if spec.moped else None, mixture,
-            )
-            if new_leaf:
-                collected.append((lq_b, lp_b, bkind != "rep"))
+            y = _add_bias(y, mod, kind, new_leaf)
         return y.reshape(lead + (y.shape[-1],))
+
+    def handle_conv(mod, x):
+        """Bayesian ``nn.Conv`` (CONV_RULE extension; the reference converts
+        Linear only, `bayeformers/nn/__init__.py:25`). TPU-first lowering:
+        im2col patches followed by the SAME fused sampled matmul as
+        handle_dense — the MXU sees one (S, B*P, K)x(K, cout) contraction
+        and the sampled kernel never materializes in HBM. The eps stream is
+        defined in the channel-major (K, cout) orientation (fused-tier draws
+        differ from the naive tier's (*k, cin, cout)-oriented stream — same
+        documented divergence as GPT-2's transposed Conv1D)."""
+        kpath, mu4, reorder, patches, out_spatial = lower_conv(
+            mod, x, bparams.rho
+        )
+        mu, rho = reorder(mu4), reorder(bparams.rho[kpath])
+        prior_mu_t = None
+        if spec.moped and not spec.frozen:
+            prior_mu_t = reorder(bparams.prior_mu[kpath])
+        xs = patches.reshape(S, -1, patches.shape[-1])
+        y, new_leaf, kind = _route_matmul(kpath, mu, rho, prior_mu_t, xs)
+        if mod.use_bias:
+            y = _add_bias(y, mod, kind, new_leaf)
+        return y.reshape((x.shape[0],) + out_spatial + (y.shape[-1],))
+
+    def _add_bias(y, mod, kind, new_leaf):
+        """Sampled-bias add shared by handle_dense / handle_conv; ``y`` is
+        the (S, M, N) kernel output, ``kind`` the kernel's tp plan (a
+        column-sharded kernel implies a sharded bias)."""
+        bpath = SEP.join(mod.path + ("bias",))
+        bmu = mod.variables["params"]["bias"]
+        brho = bparams.rho[bpath]
+        bkind = "col" if kind == "col" else "rep"
+        bkey = jax.random.fold_in(key, path_index[bpath])
+        if bkind == "col":
+            if bmu.shape[0] % 128 == 0:
+                b0 = jax.lax.axis_index(tp.axis) * bmu.shape[0]
+            else:
+                bkey = jax.random.fold_in(
+                    bkey, jax.lax.axis_index(tp.axis)
+                )
+                b0 = None
+        else:
+            b0 = None
+        beps = _unit_bias_eps(bkey, n_draws, bmu.shape[0], b0).astype(
+            bmu.dtype
+        )
+        if antithetic:
+            beps = interleave(beps)
+        bsig = dist.sigma_from_rho(brho)
+        b = bmu[None] + bsig[None] * beps
+        y = y + b[:, None, :].astype(y.dtype)  # keep bf16 activations bf16
+        lq_b, lp_b = _bias_logprobs(
+            b, bmu, bsig, beps,
+            bparams.prior_mu.get(bpath) if spec.moped else None, mixture,
+        )
+        if new_leaf:
+            collected.append((lq_b, lp_b, bkind != "rep"))
+        return y
 
     def handle_embed(mod, ids):
         epath = SEP.join(mod.path + ("embedding",))
@@ -768,6 +879,11 @@ def fused_mc_apply(
             kpath = SEP.join(mod.path + ("kernel",))
             if kpath in bparams.rho:
                 return handle_dense(mod, f_args[0], transposed=True)
+        if isinstance(mod, nn.Conv):
+            # true convolutions (CONV_RULE, opt-in): im2col + fused matmul
+            kpath = SEP.join(mod.path + ("kernel",))
+            if kpath in bparams.rho:
+                return handle_conv(mod, f_args[0])
         if convert_embeddings and isinstance(mod, nn.Embed):
             epath = SEP.join(mod.path + ("embedding",))
             if epath in bparams.rho:

@@ -53,7 +53,12 @@ import jax.numpy as jnp
 
 from bayeformers_tpu.core import distributions as dist
 from bayeformers_tpu.nn.flipout import KL_DRAWS, analytic_leaf_kl
-from bayeformers_tpu.nn.fused import SEP, tile_samples, untile_samples
+from bayeformers_tpu.nn.fused import (
+    SEP,
+    lower_conv,
+    tile_samples,
+    untile_samples,
+)
 
 
 def lrt_mc_apply(
@@ -131,6 +136,49 @@ def lrt_mc_apply(
         y = m + (jnp.sqrt(jnp.maximum(v, 0.0)) * eps).astype(m.dtype)
         return y.reshape(lead + (N,))
 
+    def handle_conv(mod, x):
+        """Bayesian ``nn.Conv`` (CONV_RULE extension) via the shared im2col
+        lowering (nn/fused.py::lower_conv): the pre-activation of a conv
+        output position is a weighted sum over its patch, so its exact
+        Gaussian marginal is mean = patches@mu, var = patches^2 @ sigma^2 —
+        the same two-matmul local reparameterization as a dense layer. KL is
+        scored on the original (*k, cin, cout) leaves (layout-invariant)."""
+        kpath, mu4, reorder, patches, out_spatial = lower_conv(
+            mod, x, bparams.rho
+        )
+        rho4 = bparams.rho[kpath]
+        mu, rho = reorder(mu4), reorder(rho4)
+        sigma = dist.sigma_from_rho(rho)
+        k = layer_key(path_index[kpath])
+        N = mu.shape[1]
+        xs = patches.reshape(S, -1, patches.shape[-1])
+        M = xs.shape[1]
+        m = xs @ mu.astype(xs.dtype)
+        v = jnp.einsum(
+            "smk,kn->smn", xs * xs, (sigma * sigma).astype(xs.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if kpath not in seen:
+            seen.add(kpath)
+            kl_terms.append(
+                leaf_kl(kpath, mu4, dist.sigma_from_rho(rho4), k)
+            )
+        if mod.use_bias:
+            bpath = SEP.join(mod.path + ("bias",))
+            bmu = mod.variables["params"]["bias"]
+            brho = bparams.rho[bpath]
+            bsig = dist.sigma_from_rho(brho)
+            m = m + bmu.astype(m.dtype)
+            v = v + (bsig * bsig).astype(v.dtype)
+            if bpath not in seen:
+                seen.add(bpath)
+                kl_terms.append(
+                    leaf_kl(bpath, bmu, bsig, jax.random.fold_in(k, 6))
+                )
+        eps = jax.random.normal(jax.random.fold_in(k, 7), (S, M, N), jnp.float32)
+        y = m + (jnp.sqrt(jnp.maximum(v, 0.0)) * eps).astype(m.dtype)
+        return y.reshape((x.shape[0],) + out_spatial + (N,))
+
     def handle_embed(mod, ids):
         """A lookup is its own pre-activation: row r of the table contributes
         ``mu[r] + sigma[r] * eps`` with fresh eps per occurrence — the exact
@@ -165,6 +213,10 @@ def lrt_mc_apply(
                 mod.path + ("kernel",)
             ) in bparams.rho:
                 return handle_dense(mod, f_args[0], transposed=True)
+            if isinstance(mod, nn.Conv) and SEP.join(
+                mod.path + ("kernel",)
+            ) in bparams.rho:
+                return handle_conv(mod, f_args[0])
             if isinstance(mod, nn.Embed) and SEP.join(
                 mod.path + ("embedding",)
             ) in bparams.rho:

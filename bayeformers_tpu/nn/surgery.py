@@ -69,11 +69,29 @@ def _match_embedding(path: tuple[str, ...], group: Mapping[str, Any]) -> bool:
     return path[-1] == "embedding" and group["embedding"].ndim == 2
 
 
+def _match_conv(path: tuple[str, ...], group: Mapping[str, Any]) -> bool:
+    # A Flax nn.Conv param group: (*kernel_size, cin, cout) `kernel` with
+    # 1-3 spatial dims, optional 1-D `bias`.
+    if path[-1] not in ("kernel", "bias") or "kernel" not in group:
+        return False
+    kernel = group["kernel"]
+    if kernel.ndim not in (3, 4, 5):
+        return False
+    if "bias" in group and group["bias"].ndim != 1:
+        return False
+    return set(group) <= {"kernel", "bias"}
+
+
 # Default registry mirrors the reference's `{nn.Linear: Linear}` scope:
 # only dense/linear layers convert; LayerNorm, conv and embedding leaves stay
-# frequentist (`bayeformers/nn/__init__.py:25`).
+# frequentist (`bayeformers/nn/__init__.py:25`). EMBEDDING_RULE and CONV_RULE
+# are opt-in extensions: `rules=(*DEFAULT_RULES, CONV_RULE)` converts true
+# nn.Conv layers too (ViT patch embedding, Whisper's encoder convs) — the
+# naive tier samples them like any leaf, the interception tiers lower them
+# to im2col + the fused sampled matmul (nn/fused.py::handle_conv).
 LINEAR_RULE = ConversionRule("linear", _match_linear)
 EMBEDDING_RULE = ConversionRule("embedding", _match_embedding)
+CONV_RULE = ConversionRule("conv", _match_conv)
 DEFAULT_RULES: tuple[ConversionRule, ...] = (LINEAR_RULE,)
 
 
