@@ -650,3 +650,390 @@ class _PyBPE:
             if 0 <= i < len(self.id_to_token)
         )
         return buf.decode("utf-8", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# SentencePiece-style Unigram (unigram.cc) — T5 / LLaMA-family vocabularies
+# ---------------------------------------------------------------------------
+
+_UG_SO_PATH = os.path.join(_SRC_DIR, "libunigram.so")
+_ug_lib = None
+_ug_lib_tried = False
+
+_METASPACE = "▁"
+_UNK_PENALTY = 10.0
+
+
+def _get_ug_lib():
+    global _ug_lib, _ug_lib_tried
+    if _ug_lib is None and not _ug_lib_tried:
+        _ug_lib_tried = True
+        path = _compile("unigram.cc", _UG_SO_PATH)
+        if path:
+            lib = ctypes.CDLL(path)
+            lib.ug_load.restype = ctypes.c_void_p
+            lib.ug_load.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.ug_free.argtypes = [ctypes.c_void_p]
+            lib.ug_vocab_size.restype = ctypes.c_int32
+            lib.ug_vocab_size.argtypes = [ctypes.c_void_p]
+            lib.ug_piece_id.restype = ctypes.c_int32
+            lib.ug_piece_id.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ]
+            lib.ug_encode.restype = ctypes.c_int64
+            lib.ug_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ]
+            lib.ug_decode.restype = ctypes.c_int64
+            lib.ug_decode.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ]
+            lib.ug_encode_batch.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32,
+            ]
+            _ug_lib = lib
+    return _ug_lib
+
+
+class UnigramTokenizer:
+    """SentencePiece Unigram tokenizer backed by the native library.
+
+    Covers the T5/LLaMA/Mistral/Gemma vocabulary family (the models the
+    reference loads through HF's Python tokenizers —
+    `/root/reference/examples/bert_squad.py:146-165` is the pattern):
+    metaspace normalization, Viterbi max-likelihood segmentation with the
+    SentencePiece single-node guarantee, fuse_unk, optional ``<0xXX>`` byte
+    fallback, lossless ``decode``. ``encode``/``decode``/``encode_batch``
+    mirror :class:`BPETokenizer`'s surface so the serving tier
+    (``Predictor.predict_texts``) consumes either interchangeably.
+
+    Construct from the native vocab.tsv (``piece<TAB>score`` per line, line
+    order = id) or directly from an HF ``tokenizer.json`` via
+    :meth:`from_tokenizer_json`.
+
+    Tie-breaking note: equal-likelihood segmentations are resolved by a
+    fixed iteration order (start ascending, piece length descending,
+    strict-improvement) shared bit-identically by the C++ and the Python
+    fallback; HF may resolve exact ties differently, which real
+    (continuous-score) vocabularies never exercise.
+    """
+
+    def __init__(self, vocab_path: str, unk_id: int = 0,
+                 add_dummy_prefix=True, byte_fallback: bool = False,
+                 force_python: bool = False):
+        """``add_dummy_prefix``: 0/False = none; 1/True = always prepend
+        the metaspace (HF Prepend normalizer, LLaMA-style); 2 = prepend
+        unless the text already starts with a space or metaspace (HF
+        Metaspace pre_tokenizer, T5-style)."""
+        self.vocab_path = vocab_path
+        self.unk_id = unk_id
+        self.add_dummy_prefix = int(add_dummy_prefix)
+        self.byte_fallback = byte_fallback
+        self._handle = None
+        self._lib = None if force_python else _get_ug_lib()
+        if self._lib is not None:
+            self._handle = self._lib.ug_load(
+                vocab_path.encode(), unk_id,
+                self.add_dummy_prefix, 1 if byte_fallback else 0,
+            )
+            if not self._handle:
+                self._lib = None
+        self._py = None if self._lib is not None else _PyUnigram(
+            vocab_path, unk_id, add_dummy_prefix, byte_fallback
+        )
+
+    @classmethod
+    def from_tokenizer_json(cls, json_path: str, vocab_tsv_path: str = None,
+                            force_python: bool = False) -> "UnigramTokenizer":
+        """Build from an HF ``tokenizer.json`` with a Unigram model.
+
+        Converts the HF serialization to the native vocab.tsv format
+        (written next to the json unless ``vocab_tsv_path`` is given) and
+        reads ``unk_id``/``byte_fallback`` from the model block and the
+        dummy-prefix policy from the normalizer (LLaMA-style
+        Prepend+Replace) or Metaspace pre_tokenizer (T5-style).
+
+        A split-mode Metaspace pre_tokenizer segments at word boundaries
+        before Viterbi; the whole-string Viterbi here factorizes to the
+        same result iff no piece carries an interior metaspace — checked,
+        raising ``NotImplementedError`` on the (unseen-in-practice)
+        violating vocabularies rather than silently diverging.
+        """
+        import json as _json
+
+        with open(json_path, encoding="utf-8") as fh:
+            spec = _json.load(fh)
+        model = spec.get("model", {})
+        if model.get("type") != "Unigram":
+            raise ValueError(
+                f"{json_path}: model.type={model.get('type')!r}, not Unigram"
+            )
+        vocab = model.get("vocab", [])
+        unk_id = model.get("unk_id")
+        byte_fallback = bool(model.get("byte_fallback", False))
+
+        def _scan(block, wanted):
+            """All sub-blocks of the given normalizer/pre_tokenizer type."""
+            if not block:
+                return []
+            seq = block.get(
+                "normalizers", block.get("pretokenizers", [block])
+            ) if block.get("type") == "Sequence" else [block]
+            return [b for b in seq if b.get("type") == wanted]
+
+        norm = spec.get("normalizer") or {}
+        pre = spec.get("pre_tokenizer") or {}
+        add_dummy_prefix = 0
+        split_mode = False
+        if _scan(norm, "Prepend"):
+            add_dummy_prefix = 1  # unconditional (LLaMA-style)
+        for ms in _scan(pre, "Metaspace"):
+            scheme = ms.get(
+                "prepend_scheme",
+                "always" if ms.get("add_prefix_space", True) else "never",
+            )
+            if scheme != "never" and add_dummy_prefix == 0:
+                add_dummy_prefix = 2  # unless already space-led (T5-style)
+            if ms.get("split", True):
+                split_mode = True
+        if split_mode:
+            for piece, _ in vocab:
+                if _METASPACE in piece[1:]:
+                    raise NotImplementedError(
+                        f"{json_path}: split-mode Metaspace with an "
+                        f"interior-metaspace piece {piece!r} — whole-string "
+                        "Viterbi would diverge from HF's word-split lattice"
+                    )
+        if vocab_tsv_path is None:
+            vocab_tsv_path = os.path.splitext(json_path)[0] + ".vocab.tsv"
+        with open(vocab_tsv_path, "w", encoding="utf-8") as fh:
+            for piece, score in vocab:
+                if "\t" in piece or "\n" in piece or "\r" in piece:
+                    raise ValueError(
+                        f"piece {piece!r} contains tsv delimiter bytes"
+                    )
+                fh.write(f"{piece}\t{score}\n")
+        return cls(
+            vocab_tsv_path,
+            unk_id=-1 if unk_id is None else int(unk_id),
+            add_dummy_prefix=add_dummy_prefix,
+            byte_fallback=byte_fallback,
+            force_python=force_python,
+        )
+
+    @property
+    def backend(self) -> str:
+        return "native" if self._lib is not None else "python"
+
+    @property
+    def vocab_size(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.ug_vocab_size(self._handle))
+        return len(self._py.pieces)
+
+    def piece_id(self, piece: str) -> int:
+        """Id of a literal piece (e.g. ``"</s>"``), -1 if absent."""
+        raw = piece.encode("utf-8")
+        if self._lib is not None:
+            return int(self._lib.ug_piece_id(self._handle, raw, len(raw)))
+        return self._py.piece_to_id.get(raw, -1)
+
+    def encode(self, text: str) -> list[int]:
+        if self._lib is None:
+            return self._py.encode(text)
+        data = text.encode("utf-8")
+        cap = max(64, 2 * len(data) + 8)
+        while True:
+            out = np.empty(cap, dtype=np.int32)
+            n = self._lib.ug_encode(
+                self._handle, data,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+            )
+            if n <= cap:
+                return out[:n].tolist()
+            cap = int(n)
+
+    def decode(self, ids) -> str:
+        if self._lib is None:
+            return self._py.decode(ids)
+        arr = np.asarray(ids, dtype=np.int32)
+        cap = max(64, 16 * max(1, len(arr)) + 8)
+        while True:
+            buf = ctypes.create_string_buffer(cap)
+            n = self._lib.ug_decode(
+                self._handle,
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(arr), buf, cap,
+            )
+            if n <= cap:
+                return buf.raw[:n].decode("utf-8", errors="replace")
+            cap = int(n)
+
+    def encode_batch(
+        self, texts: list[str], capacity: int = 512, n_threads: int = 0
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(ids [len(texts), capacity] int32, lengths [len(texts)] int64)."""
+        if self._lib is None:
+            ids = np.zeros((len(texts), capacity), np.int32)
+            lengths = np.zeros(len(texts), np.int64)
+            for i, text in enumerate(texts):
+                row = self._py.encode(text)
+                lengths[i] = len(row)
+                ids[i, : min(len(row), capacity)] = row[:capacity]
+            return ids, lengths
+        encoded = [t.encode("utf-8") for t in texts]
+        arr = (ctypes.c_char_p * len(texts))(*encoded)
+        ids = np.zeros((len(texts), capacity), np.int32)
+        lengths = np.zeros(len(texts), np.int64)
+        self._lib.ug_encode_batch(
+            self._handle, arr, len(texts),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), capacity,
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_threads,
+        )
+        return ids, lengths
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and self._handle:
+            self._lib.ug_free(self._handle)
+            self._handle = None
+
+
+def _cp_len(b: int) -> int:
+    """UTF-8 codepoint byte-length from the lead byte (unigram.cc cp_len)."""
+    if b < 0x80:
+        return 1
+    if (b >> 5) == 0x6:
+        return 2
+    if (b >> 4) == 0xE:
+        return 3
+    if (b >> 3) == 0x1E:
+        return 4
+    return 1
+
+
+class _PyUnigram:
+    """Pure-Python fallback, bit-identical to unigram.cc (same byte-level
+    Viterbi with the same fixed iteration order and IEEE-double scores)."""
+
+    def __init__(self, vocab_path: str, unk_id: int, add_dummy_prefix: int,
+                 byte_fallback: bool):
+        self.pieces: list[bytes] = []
+        self.scores: list[float] = []
+        self.piece_to_id: dict[bytes, int] = {}
+        self.unk_id = unk_id
+        self.add_dummy_prefix = int(add_dummy_prefix)
+        self.byte_fallback = byte_fallback
+        self.byte_ids = [-1] * 256
+        self.max_piece_len = 1
+        min_score = float("inf")
+        with open(vocab_path, "rb") as fh:
+            for line in fh:
+                line = line.rstrip(b"\r\n")
+                tab = line.rfind(b"\t")
+                piece = line if tab < 0 else line[:tab]
+                score = 0.0 if tab < 0 else float(line[tab + 1:])
+                idx = len(self.pieces)
+                self.pieces.append(piece)
+                self.scores.append(score)
+                self.piece_to_id[piece] = idx  # last id wins (HF parity)
+                self.max_piece_len = max(self.max_piece_len, len(piece))
+                min_score = min(min_score, score)
+                if (len(piece) == 6 and piece[:3] == b"<0x"
+                        and piece[5:6] == b">"):
+                    try:
+                        self.byte_ids[int(piece[3:5], 16)] = idx
+                    except ValueError:
+                        pass
+        self.min_score = min_score if min_score != float("inf") else 0.0
+
+    def _normalize(self, text: str) -> bytes:
+        meta = _METASPACE.encode()
+        prepend = False
+        if text:
+            if self.add_dummy_prefix == 1:
+                prepend = True
+            elif self.add_dummy_prefix == 2:
+                prepend = text[0] != " " and not text.startswith(_METASPACE)
+        out = meta if prepend else b""
+        return out + text.encode("utf-8").replace(b" ", meta)
+
+    def encode(self, text: str) -> list[int]:
+        s = self._normalize(text)
+        n = len(s)
+        if n == 0:
+            return []
+        ninf = float("-inf")
+        unk_score = self.min_score - _UNK_PENALTY
+        best = [ninf] * (n + 1)
+        back = [-1] * (n + 1)
+        back_id = [-2] * (n + 1)
+        best[0] = 0.0
+        for i in range(n):
+            if best[i] == ninf:
+                continue
+            one_cp = min(_cp_len(s[i]), n - i)
+            has_single = False
+            for length in range(min(self.max_piece_len, n - i), 0, -1):
+                pid = self.piece_to_id.get(s[i:i + length])
+                if pid is None:
+                    continue
+                if length == one_cp:
+                    has_single = True
+                sc = best[i] + self.scores[pid]
+                if sc > best[i + length]:
+                    best[i + length] = sc
+                    back[i + length] = i
+                    back_id[i + length] = pid
+            if not has_single:
+                sc = best[i] + unk_score
+                if sc > best[i + one_cp]:
+                    best[i + one_cp] = sc
+                    back[i + one_cp] = i
+                    back_id[i + one_cp] = -1
+        steps = []
+        j = n
+        while j > 0:
+            b = back[j]
+            if b < 0:
+                return []  # malformed UTF-8 tail (same clean give-up as C++)
+            steps.append((b, back_id[j]))
+            j = b
+        out: list[int] = []
+        prev_unk = False
+        for start, pid in reversed(steps):
+            if pid >= 0:
+                out.append(pid)
+                prev_unk = False
+            elif self.byte_fallback:
+                for k in range(min(_cp_len(s[start]), n - start)):
+                    bid = self.byte_ids[s[start + k]]
+                    out.append(bid if bid >= 0 else self.unk_id)
+                prev_unk = False
+            else:
+                if not prev_unk:
+                    out.append(self.unk_id)
+                prev_unk = True  # fuse_unk
+        return out
+
+    def decode(self, ids) -> str:
+        meta = _METASPACE.encode()
+        buf = bytearray()
+        is_byte = set(i for i in self.byte_ids if i >= 0)
+        for idx in ids:
+            idx = int(idx)
+            if not 0 <= idx < len(self.pieces):
+                continue
+            piece = self.pieces[idx]
+            if idx in is_byte:
+                buf.append(int(piece[3:5], 16))
+            else:
+                buf.extend(piece.replace(meta, b" "))
+        off = 1 if (self.add_dummy_prefix and buf[:1] == b" ") else 0
+        return bytes(buf[off:]).decode("utf-8", errors="replace")

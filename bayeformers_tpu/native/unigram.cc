@@ -63,7 +63,11 @@ struct Model {
   std::vector<double> scores;               // id -> log prob
   std::unordered_map<std::string, int32_t> piece_to_id;  // first id wins
   int32_t unk_id = -1;
-  bool add_dummy_prefix = true;
+  // 0 = no dummy prefix; 1 = always prepend (HF Prepend normalizer,
+  // LLaMA-style); 2 = prepend unless the text already starts with ' ' or
+  // the metaspace (HF Metaspace pre_tokenizer semantics, T5-style — its
+  // `!starts_with(replacement)` guard runs AFTER the space replacement).
+  int prefix_mode = 1;
   bool byte_fallback = false;
   double min_score = 0.0;
   size_t max_piece_len = 1;
@@ -76,7 +80,7 @@ Model* load_model(const char* path, int unk_id, int add_dummy_prefix,
   if (!fh.is_open()) return nullptr;
   auto* m = new Model();
   m->unk_id = unk_id;
-  m->add_dummy_prefix = add_dummy_prefix != 0;
+  m->prefix_mode = add_dummy_prefix;
   m->byte_fallback = byte_fallback != 0;
   for (auto& b : m->byte_ids) b = -1;
   std::string line;
@@ -90,7 +94,7 @@ Model* load_model(const char* path, int unk_id, int add_dummy_prefix,
     int32_t id = static_cast<int32_t>(m->pieces.size());
     m->pieces.push_back(piece);
     m->scores.push_back(score);
-    m->piece_to_id.emplace(piece, id);  // keeps the FIRST id for dup pieces
+    m->piece_to_id[piece] = id;  // last id wins for dup pieces (HF parity)
     if (piece.size() > m->max_piece_len) m->max_piece_len = piece.size();
     if (score < m->min_score) m->min_score = score;
     // <0xXX> byte-fallback pieces
@@ -119,7 +123,15 @@ Model* load_model(const char* path, int unk_id, int add_dummy_prefix,
 std::string normalize(const Model& m, const std::string& text) {
   std::string out;
   out.reserve(text.size() + 4);
-  if (m.add_dummy_prefix && !text.empty()) out += kMetaspace;
+  bool prepend = false;
+  if (!text.empty()) {
+    if (m.prefix_mode == 1) {
+      prepend = true;
+    } else if (m.prefix_mode == 2) {
+      prepend = text[0] != ' ' && text.compare(0, 3, kMetaspace) != 0;
+    }
+  }
+  if (prepend) out += kMetaspace;
   for (char c : text) {
     if (c == ' ') {
       out += kMetaspace;
@@ -272,7 +284,7 @@ int64_t ug_decode(void* handle, const int32_t* ids, int64_t n, char* out,
       }
     }
   }
-  size_t off = (m.add_dummy_prefix && !buf.empty() && buf[0] == ' ') ? 1 : 0;
+  size_t off = (m.prefix_mode != 0 && !buf.empty() && buf[0] == ' ') ? 1 : 0;
   int64_t out_n = static_cast<int64_t>(buf.size() - off);
   if (out_n <= cap) std::memcpy(out, buf.data() + off, out_n);
   return out_n;

@@ -39,6 +39,7 @@ from bayeformers_tpu.core import distributions as dist
 from bayeformers_tpu.core import prior as prior_lib
 from bayeformers_tpu.nn.fused import (
     SEP,
+    check_converted_paths_seen,
     lower_conv,
     tile_samples,
     untile_samples,
@@ -175,9 +176,7 @@ def flipout_mc_apply(
         lowering (nn/fused.py::lower_conv): the flipout perturbation rides
         the patches matmul. KL is scored on the original (*k, cin, cout)
         leaves (elementwise sums are layout-invariant)."""
-        kpath, mu4, reorder, patches, out_spatial = lower_conv(
-            mod, x, bparams.rho
-        )
+        kpath, mu4, reorder, patches, out_spatial = lower_conv(mod, x)
         rho4 = bparams.rho[kpath]
         mu, rho = reorder(mu4), reorder(rho4)
         k = layer_key(path_index[kpath])
@@ -211,6 +210,7 @@ def flipout_mc_apply(
         out = apply_fn(bparams.params, *tiled_args, **tiled_kwargs)
     if not kl_terms:
         raise ValueError("flipout_mc_apply intercepted no converted layers")
+    check_converted_paths_seen(paths, seen, "flipout")
     kl = sum(kl_terms)
     aux = {
         "kl": kl,

@@ -83,7 +83,41 @@ def untile_samples(
     return jax.tree.map(untile, tree)
 
 
-def lower_conv(mod, x: jax.Array, rho_tree) -> tuple:
+def check_converted_paths_seen(paths, seen: set, tier: str) -> None:
+    """Raise if any converted leaf never routed through this tier's handlers.
+
+    The interceptors dispatch on concrete module types (``nn.Dense``,
+    ``nn.Conv``, ``nn.Embed``, HF attention classes); a converted leaf owned
+    by anything else — ``nn.ConvTranspose``/``nn.ConvLocal`` matched by the
+    shape-only CONV_RULE, a ``DenseGeneral``, or a module the apply function
+    simply never calls — would otherwise run the stock forward at ``mu``
+    with no sampling and no KL: dead rho gradients and a silently biased
+    ELBO. That exact silent failure must raise instead (the contract
+    ``lower_conv`` documents). A converted ``bias`` counts as seen when its
+    own path or its sibling ``kernel`` was handled (the dense/conv handlers
+    fold the bias into the kernel interception).
+    """
+    missed = []
+    for p in paths:
+        head, _, leaf = p.rpartition(SEP)
+        if leaf == "bias":
+            sibling = (head + SEP + "kernel") if head else "kernel"
+            if p not in seen and sibling not in seen:
+                missed.append(p)
+        elif p not in seen:
+            missed.append(p)
+    if missed:
+        raise NotImplementedError(
+            f"{tier} tier: converted parameter(s) {missed} were never "
+            "intercepted during the forward pass — the owning module is "
+            "not a supported type (nn.Dense / nn.Conv / nn.Embed / "
+            "HF attention) or is never called by this apply function. "
+            "Running it frequentist at mu would silently bias the ELBO; "
+            "exclude the leaf from the conversion rules instead."
+        )
+
+
+def lower_conv(mod, x: jax.Array) -> tuple:
     """im2col lowering of a converted ``nn.Conv`` (CONV_RULE extension).
 
     Returns ``(kpath, mu, reorder, patches, out_spatial)``: the conv becomes
@@ -108,6 +142,12 @@ def lower_conv(mod, x: jax.Array, rho_tree) -> tuple:
         raise NotImplementedError(
             f"converted conv {kpath}: feature_group_count>1 has no Bayesian "
             "lowering here; exclude the layer from the conversion rules"
+        )
+    if getattr(mod, "mask", None) is not None:
+        raise NotImplementedError(
+            f"converted conv {kpath}: kernel masks are not applied by the "
+            "Bayesian im2col lowering; exclude the layer from the "
+            "conversion rules"
         )
     if x.ndim != nd + 2:
         raise NotImplementedError(
@@ -388,9 +428,7 @@ def fused_mc_apply(
         defined in the channel-major (K, cout) orientation (fused-tier draws
         differ from the naive tier's (*k, cin, cout)-oriented stream — same
         documented divergence as GPT-2's transposed Conv1D)."""
-        kpath, mu4, reorder, patches, out_spatial = lower_conv(
-            mod, x, bparams.rho
-        )
+        kpath, mu4, reorder, patches, out_spatial = lower_conv(mod, x)
         mu, rho = reorder(mu4), reorder(bparams.rho[kpath])
         prior_mu_t = None
         if spec.moped and not spec.frozen:
@@ -900,6 +938,7 @@ def fused_mc_apply(
             "fused_mc_apply intercepted no converted layers; the model's "
             "apply function must route through flax module __call__s"
         )
+    check_converted_paths_seen(paths, seen, "fused")
     zero = jnp.zeros((S,), jnp.float32)
     log_q = sum((lq for lq, _, sh in collected if not sh), zero)
     log_p = sum((lp for _, lp, sh in collected if not sh), zero)

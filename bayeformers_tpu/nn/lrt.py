@@ -55,6 +55,7 @@ from bayeformers_tpu.core import distributions as dist
 from bayeformers_tpu.nn.flipout import KL_DRAWS, analytic_leaf_kl
 from bayeformers_tpu.nn.fused import (
     SEP,
+    check_converted_paths_seen,
     lower_conv,
     tile_samples,
     untile_samples,
@@ -143,9 +144,7 @@ def lrt_mc_apply(
         Gaussian marginal is mean = patches@mu, var = patches^2 @ sigma^2 —
         the same two-matmul local reparameterization as a dense layer. KL is
         scored on the original (*k, cin, cout) leaves (layout-invariant)."""
-        kpath, mu4, reorder, patches, out_spatial = lower_conv(
-            mod, x, bparams.rho
-        )
+        kpath, mu4, reorder, patches, out_spatial = lower_conv(mod, x)
         rho4 = bparams.rho[kpath]
         mu, rho = reorder(mu4), reorder(rho4)
         sigma = dist.sigma_from_rho(rho)
@@ -229,6 +228,7 @@ def lrt_mc_apply(
         out = apply_fn(bparams.params, *tiled_args, **tiled_kwargs)
     if not kl_terms:
         raise ValueError("lrt_mc_apply intercepted no converted layers")
+    check_converted_paths_seen(paths, seen, "lrt")
     kl = sum(kl_terms)
     aux = {
         "kl": kl,

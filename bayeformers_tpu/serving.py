@@ -69,6 +69,7 @@ class Predictor:
     task: str = "classification"  # or "qa" (span heads) / "causal-lm"
     max_answer_len: int = 30  # qa: span-length cap (HF default the reference
     n_best: int = 5           # inherits via compute_predictions_logits)
+    doc_stride: int = 128     # qa: window advance for long contexts
     top_k: int = 50           # causal-lm: next-token candidates returned
     input_keys: tuple[str, ...] = (
         "input_ids", "attention_mask", "token_type_ids"
@@ -233,9 +234,16 @@ class Predictor:
           featurizer policy (utils/glue.py::featurize_pairs); ``tokenizer``
           is a :class:`~bayeformers_tpu.native.WordPieceTokenizer`.
         - ``qa``: list of (question, context) pairs — featurized with the
-          SQuAD doc-stride pipeline (utils/squad.py::featurize, first
-          window per question; shard longer contexts upstream); span
-          decoding and answer texts come back in ``spans`` automatically.
+          SQuAD doc-stride pipeline (utils/squad.py::featurize), running
+          EVERY doc-stride window of long contexts (chunked through the
+          batch buckets) and aggregating the n-best spans across a
+          question's windows by descending score — the serving counterpart
+          of the reference's all-features ``compute_predictions_logits``
+          decode (`examples/bert_squad.py:357-362`) and of the training
+          workload's best-window compete (workloads/bert_squad.py). The
+          result's ``spans`` has one n-best list per QUESTION; the
+          per-position arrays are per-FEATURE rows, with ``feature_qid``
+          mapping each row back to its question index.
         - ``causal-lm``: list of strings — raw BPE ids
           (:class:`~bayeformers_tpu.native.BPETokenizer`), TAIL-truncated
           to the largest sequence bucket (next-token prediction wants the
@@ -270,23 +278,53 @@ class Predictor:
             ]
             feats = squad_lib.featurize(
                 examples, tokenizer.tokenize, max_seq=max_seq,
+                doc_stride=self.doc_stride,
                 cls_id=cls_id, sep_id=sep_id, pad_id=self.pad_id,
                 is_training=False,
                 offsets_fn=getattr(tokenizer, "tokenize_with_offsets", None),
             )
-            by_qid = {}
-            for f in feats:  # first window per question (serving policy)
-                by_qid.setdefault(f["qid"], f)
-            feats = [by_qid[str(i)] for i in range(len(texts))]
-            batch = {
-                k: np.asarray([f[k] for f in feats], np.int32)
-                for k in ("input_ids", "attention_mask", "token_type_ids")
-            }
-            batch = _trim_pad_columns(batch)
-            return self(
-                batch, seed=seed, features=feats,
-                contexts=[c for _, c in texts],
+            # every doc-stride window runs; chunk the feature list through
+            # the largest batch bucket and concatenate per-feature rows
+            nmax = max(self.batch_sizes)
+            parts: list[dict] = []
+            for lo in range(0, len(feats), nmax):
+                chunk = feats[lo:lo + nmax]
+                batch = {
+                    k: np.asarray([f[k] for f in chunk], np.int32)
+                    for k in ("input_ids", "attention_mask", "token_type_ids")
+                }
+                parts.append(self(
+                    _trim_pad_columns(batch), seed=seed, features=chunk,
+                    contexts=[texts[int(f["qid"])][1] for f in chunk],
+                ))
+            # n-best aggregation across each question's windows (chunks can
+            # produce different trimmed lengths, so only 1-D per-row arrays
+            # concatenate; per-position arrays are padded to the widest)
+            out: dict = {}
+            keys = parts[0].keys()
+            widest = max(p["start_probs"].shape[1] for p in parts)
+            for k in keys:
+                if k == "spans":
+                    continue
+                rows = [np.asarray(p[k]) for p in parts]
+                if rows[0].ndim >= 2:
+                    rows = [
+                        np.pad(r, [(0, 0), (0, widest - r.shape[1])]
+                               + [(0, 0)] * (r.ndim - 2)) for r in rows
+                    ]
+                out[k] = np.concatenate(rows, axis=0)
+            out["feature_qid"] = np.asarray(
+                [int(f["qid"]) for f in feats], np.int32
             )
+            per_q: list[list] = [[] for _ in texts]
+            flat_spans = [s for p in parts for s in p["spans"]]
+            for f, spans in zip(feats, flat_spans):
+                per_q[int(f["qid"])].extend(spans)
+            out["spans"] = [
+                sorted(sp, key=lambda d: -d["score"])[: self.n_best]
+                for sp in per_q
+            ]
+            return out
 
         from bayeformers_tpu.utils import glue as glue_lib
 

@@ -136,7 +136,10 @@ def windowize(n_tokens: int, max_len: int, doc_stride: int) -> list[tuple[int, i
         windows.append((start, end))
         if end == n_tokens:
             return windows
-        start += doc_stride
+        # advance by at most the window actually taken (HF semantics:
+        # squad_convert_examples_to_features steps min(length, doc_stride)),
+        # so an oversized doc_stride can never skip context tokens
+        start += min(end - start, doc_stride)
 
 
 def featurize(

@@ -97,7 +97,7 @@ def test_lower_conv_matches_lax_conv():
             m = context.module
             if isinstance(m, nn.Conv) and context.method_name == "__call__":
                 kpath, mu, reorder, patches, out_spatial = fused_lib.lower_conv(
-                    m, f_args[0], {}
+                    m, f_args[0]
                 )
                 y = patches.reshape(-1, patches.shape[-1]) @ reorder(mu)
                 got["y"] = y.reshape(

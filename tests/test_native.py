@@ -207,3 +207,137 @@ def test_bpe_batch_encode(bpe_files):
         assert lengths[i] == len(row)
         np.testing.assert_array_equal(ids[i, : min(len(row), 32)],
                                       row[:32])
+
+
+# ---------------------------------------------------------------------------
+# SentencePiece-style Unigram (unigram.cc) — T5/LLaMA vocabulary family
+# ---------------------------------------------------------------------------
+
+from bayeformers_tpu.native import UnigramTokenizer  # noqa: E402
+
+_UG_TEXTS = [
+    "hello world",
+    "the quick brown fox",
+    " leading space",
+    "double  space inside",
+    "héllo wörld",
+    "punct! marks? here.",
+    "∑ unknown ∑∑ runs ∑",
+    "",
+    "▁literal metaspace",
+]
+
+
+def _ug_vocab(seed: int, byte_fallback: bool):
+    """A Unigram vocabulary with continuous random scores (tie-free) that
+    single-codepoint-covers the test texts except '∑' (the unk/byte path)."""
+    import random
+
+    rng = random.Random(seed)
+    singles = sorted(set("".join(_UG_TEXTS).replace(" ", "").replace("∑", "")))
+    multis = [
+        "▁hello", "▁world", "hello", "llo", "▁the", "▁qu", "ick", "▁fox",
+        "▁br", "own", "▁space", "space", "▁lead", "ing", "▁in", "side",
+        "▁mark", "s?", "▁here", "▁runs", "un", "known",
+    ]
+    vocab = [("<unk>", 0.0), ("▁", rng.uniform(-10.0, -1.0))]
+    for p in singles + multis:
+        vocab.append((p, rng.uniform(-10.0, -1.0)))
+    if byte_fallback:
+        for b in range(256):
+            vocab.append((f"<0x{b:02X}>", rng.uniform(-14.0, -11.0)))
+    return vocab
+
+
+def _save_hf_unigram(tmpdir, flavor: str, byte_fallback: bool, seed: int):
+    """Build + save an HF tokenizer.json: 'prepend' = LLaMA-style normalizer
+    sequence, 'metaspace' = T5-style split pre_tokenizer."""
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
+
+    vocab = _ug_vocab(seed, byte_fallback)
+    tok = Tokenizer(models.Unigram(vocab, 0, byte_fallback))
+    if flavor == "prepend":
+        tok.normalizer = normalizers.Sequence([
+            normalizers.Prepend("▁"), normalizers.Replace(" ", "▁"),
+        ])
+    else:
+        tok.pre_tokenizer = pre_tokenizers.Metaspace(
+            replacement="▁", prepend_scheme="first", split=True
+        )
+    path = str(tmpdir / f"ug_{flavor}_{int(byte_fallback)}.json")
+    tok.save(path)
+    return path, tok
+
+
+@pytest.mark.parametrize("flavor", ["prepend", "metaspace"])
+@pytest.mark.parametrize("byte_fallback", [False, True])
+def test_unigram_matches_hf(tmp_path, flavor, byte_fallback):
+    path, hf = _save_hf_unigram(tmp_path, flavor, byte_fallback, seed=7)
+    for force_python in (True, False):
+        tok = UnigramTokenizer.from_tokenizer_json(
+            path, force_python=force_python
+        )
+        if not force_python and tok.backend != "native":
+            pytest.skip("no C++ compiler available")
+        for text in _UG_TEXTS:
+            assert tok.encode(text) == hf.encode(text).ids, (
+                flavor, byte_fallback, tok.backend, text
+            )
+
+
+def test_unigram_native_matches_python(tmp_path):
+    path, _ = _save_hf_unigram(tmp_path, "prepend", True, seed=11)
+    nat = UnigramTokenizer.from_tokenizer_json(path)
+    if nat.backend != "native":
+        pytest.skip("no C++ compiler available")
+    py = UnigramTokenizer.from_tokenizer_json(path, force_python=True)
+    for text in _UG_TEXTS:
+        assert nat.encode(text) == py.encode(text), text
+    assert nat.vocab_size == py.vocab_size
+    assert nat.piece_id("▁hello") == py.piece_id("▁hello") >= 0
+    assert nat.piece_id("absent-piece") == py.piece_id("absent-piece") == -1
+
+
+def test_unigram_decode_roundtrip(tmp_path):
+    # byte fallback makes every text lossless (unknowns ride <0xXX> pieces)
+    # — except literal U+2581 input, which decode maps to ' ' like every
+    # other metaspace (inherent to the SentencePiece scheme; HF does the same)
+    path, _ = _save_hf_unigram(tmp_path, "prepend", True, seed=3)
+    for force_python in (True, False):
+        tok = UnigramTokenizer.from_tokenizer_json(
+            path, force_python=force_python
+        )
+        if not force_python and tok.backend != "native":
+            pytest.skip("no C++ compiler available")
+        for text in _UG_TEXTS:
+            if "▁" in text:
+                continue
+            assert tok.decode(tok.encode(text)) == text, (tok.backend, text)
+
+
+def test_unigram_batch_encode(tmp_path):
+    path, _ = _save_hf_unigram(tmp_path, "prepend", False, seed=5)
+    tok = UnigramTokenizer.from_tokenizer_json(path)
+    texts = [t for t in _UG_TEXTS if t]
+    ids, lengths = tok.encode_batch(texts, capacity=64, n_threads=2)
+    assert ids.shape == (len(texts), 64)
+    for i, t in enumerate(texts):
+        row = tok.encode(t)
+        assert lengths[i] == len(row)
+        assert ids[i, : len(row)].tolist() == row
+
+
+def test_unigram_split_mode_interior_metaspace_refused(tmp_path):
+    """A split-mode Metaspace json whose vocab carries an interior-metaspace
+    piece would make whole-string Viterbi diverge from HF — must raise."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = _ug_vocab(9, False) + [("▁▁", -1.5)]
+    tok = Tokenizer(models.Unigram(vocab, 0, False))
+    tok.pre_tokenizer = pre_tokenizers.Metaspace(
+        replacement="▁", prepend_scheme="first", split=True
+    )
+    path = str(tmp_path / "bad.json")
+    tok.save(path)
+    with pytest.raises(NotImplementedError, match="interior-metaspace"):
+        UnigramTokenizer.from_tokenizer_json(path)
