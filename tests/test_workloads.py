@@ -238,3 +238,48 @@ def test_gpt2_lm_real_corpus_tiny(tmp_path):
     # real text has exploitable structure; the MOPED model must keep the
     # frequentist accuracy (same gate as the synthetic test)
     assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1
+
+
+def test_stack_lm_pp_workload(tmp_path):
+    """The pp training mode is drivable end to end from the workload CLI
+    (VERDICT r3 #6): 2 pipeline stages on the CPU mesh, loss decreasing,
+    accuracy above chance, JSONL artifact written."""
+    import argparse
+    import json
+
+    from bayeformers_tpu.workloads import stack_lm
+
+    args = argparse.Namespace(
+        pp=2, ep=1, blocks=4, experts=0, features=32, ffn=0,
+        microbatches=4, steps=40, samples=2, batch_size=64,
+        n_examples=256, lr=5e-3, eval_every=5, seed=0,
+        logs=str(tmp_path / "logs"),
+    )
+    last = stack_lm.run(args)
+    assert last["mode"] == "pp" and last["n_dev"] == 2
+    assert np.isfinite(last["loss"])
+    assert last["acc"] > 0.7  # separable task: well above chance by step 40
+    lines = [
+        json.loads(l)
+        for l in (tmp_path / "logs" / "stack_lm.jsonl").read_text().splitlines()
+    ]
+    assert lines[-1]["loss"] < lines[0]["loss"]
+
+
+def test_stack_lm_ep_workload(tmp_path):
+    """The ep training mode is drivable end to end from the workload CLI
+    (VERDICT r3 #6): 2 expert-parallel devices, 4 experts."""
+    import argparse
+
+    from bayeformers_tpu.workloads import stack_lm
+
+    args = argparse.Namespace(
+        pp=1, ep=2, blocks=0, experts=4, features=32, ffn=64,
+        microbatches=1, steps=40, samples=2, batch_size=64,
+        n_examples=256, lr=5e-3, eval_every=10, seed=0,
+        logs=str(tmp_path / "logs"),
+    )
+    last = stack_lm.run(args)
+    assert last["mode"] == "ep" and last["n_dev"] == 2
+    assert np.isfinite(last["loss"])
+    assert last["acc"] > 0.7
