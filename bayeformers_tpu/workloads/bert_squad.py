@@ -301,52 +301,80 @@ def train(
         input_keys=input_keys, estimator=estimator,
     )
 
+    def decode_and_score(get_logits):
+        """EM/F1 over the real dev set: best-scoring window per question
+        (doc-stride windows of one long context compete, the reference's
+        all-features `compute_predictions_logits` semantics,
+        `examples/bert_squad.py:357-362`). ``get_logits(batch) -> (s, e)``
+        numpy arrays."""
+        predictions = {}
+        for bi, batch in enumerate(batch_iter(dev_data, batch_size)):
+            s_log, e_log = get_logits(batch)
+            for row in range(s_log.shape[0]):
+                feat = dev_feats[bi * batch_size + row]
+                (s, e), score = squad_lib.best_span(
+                    s_log[row], e_log[row], feat["context_offset"]
+                )
+                prev = predictions.get(feat["qid"])
+                if prev is None or score > prev[0]:
+                    predictions[feat["qid"]] = (score, s, e, feat)
+        contexts = {ex["qid"]: ex["context"] for ex in dev_examples}
+        refs = {ex["qid"]: [a["text"] for a in ex["answers"]] or [""]
+                for ex in dev_examples}
+        texts = {
+            qid: squad_lib.decode_span(feat, contexts[qid], s, e)
+            for qid, (score, s, e, feat) in predictions.items()
+        }
+        return squad_lib.squad_evaluate(texts, refs)
+
+    if dev_examples:
+        # phase-level EM/F1 (extension: the reference only scores the final
+        # model, `bert_squad.py:357-368`) — makes "MOPED preserves phase-A
+        # quality" checkable on real data
+        fwd = jax.jit(lambda p, **inp: qa_apply(p, **inp))
+        freq_metrics = decode_and_score(
+            lambda batch: tuple(
+                np.asarray(a)
+                for a in fwd(params, **{k2: batch[k2] for k2 in input_keys})
+            )
+        )
+        writer.scalars("frequentist_eval", freq_metrics, 0)
+        with dumper.section("frequentist_eval"):
+            dumper.record(**freq_metrics)
+        print(f"[freq eval] {freq_metrics}")
+
     def eval_bayesian(bparams, key):
         """Span-accuracy metrics on held-out features + EM/F1 if real data."""
         if tp_fused:
             # eval runs the single-device fused step; gather the Megatron
             # shards back to replicated once per eval (one all-gather)
             bparams = parallel_lib.replicate(bparams, mesh)
-        report = Report("nll", "acc", "acc_std", "n")
-        predictions = {}
+        metrics = {}
         has_labels = "start_positions" in dev_data
-        for bi, batch in enumerate(batch_iter(dev_data, batch_size)):
-            key, k = jax.random.split(key)
-            if has_labels:
+        if has_labels:
+            report = Report("nll", "acc", "acc_std", "n")
+            for batch in batch_iter(dev_data, batch_size):
+                key, k = jax.random.split(key)
                 out, m = eval_step(bparams, k, batch)
                 bsz = batch["input_ids"].shape[0]
                 report.update(nll=float(m["nll"]), acc=float(m["acc"]) * bsz,
                               acc_std=float(m["acc_std"]) * bsz, n=bsz)
-            else:
-                mc = training.pick_mc(bmodel, fused, estimator)
-                (s_log, e_log), _ = mc(
-                    bparams, k, samples, **{k2: batch[k2] for k2 in input_keys}
-                )
-                s_log = np.asarray(jnp.mean(s_log, 0))
-                e_log = np.asarray(jnp.mean(e_log, 0))
-                for row in range(s_log.shape[0]):
-                    feat = dev_feats[bi * batch_size + row]
-                    (s, e), score = squad_lib.best_span(
-                        s_log[row], e_log[row], feat["context_offset"]
-                    )
-                    # keep the best-scoring window per question (doc-stride
-                    # windows of one long context compete here)
-                    prev = predictions.get(feat["qid"])
-                    if prev is None or score > prev[0]:
-                        predictions[feat["qid"]] = (score, s, e, feat)
-        metrics = {}
-        if has_labels:
             n = max(report.totals.pop("n"), 1)
             metrics = report.means(n)
-        if predictions and dev_examples:
-            contexts = {ex["qid"]: ex["context"] for ex in dev_examples}
-            refs = {ex["qid"]: [a["text"] for a in ex["answers"]] or [""]
-                    for ex in dev_examples}
-            texts = {
-                qid: squad_lib.decode_span(feat, contexts[qid], s, e)
-                for qid, (score, s, e, feat) in predictions.items()
-            }
-            metrics.update(squad_lib.squad_evaluate(texts, refs))
+        elif dev_examples:
+            mc = training.pick_mc(bmodel, fused, estimator)
+
+            def mc_mean_logits(batch):
+                nonlocal key
+                key, k = jax.random.split(key)
+                (s_log, e_log), _ = mc(
+                    bparams, k, samples,
+                    **{k2: batch[k2] for k2 in input_keys}
+                )
+                return (np.asarray(jnp.mean(s_log, 0)),
+                        np.asarray(jnp.mean(e_log, 0)))
+
+            metrics.update(decode_and_score(mc_mean_logits))
         return metrics
 
     key = jax.random.key(seed + 1)

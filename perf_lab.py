@@ -22,6 +22,8 @@ from bayeformers_tpu.models import bert as bert_lib
 
 
 def main(argv):
+    if argv and argv[0] == "step":
+        argv = argv[1:]
     modes = argv or ["fused", "antithetic"]
     bundle = bert_lib.build_bert(task="classification", n_labels=2, size="base")
     batch = bert_lib.synthetic_batch(

