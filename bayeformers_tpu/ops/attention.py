@@ -13,10 +13,12 @@ on-chip inside the kernel.
 
 Semantics mirror HF FLAX attention (`transformers` FlaxBertSelfAttention:
 scores = (q/sqrt(d)) @ k^T + bias, bias = 0 where mask>0 else finfo.min,
-softmax over keys, @ v) with one deliberate divergence: scores/softmax are
-computed in float32 even for bf16 activations (HF computes them in the
-model dtype). Forward-only dropout paths bail to the XLA implementation at
-the interception layer (nn/fused.py), never here.
+softmax over keys, @ v) with one deliberate divergence: score ACCUMULATION
+and the softmax run in float32 even for bf16 activations (HF computes them
+in the model dtype); the MXU dot operands stay in the model dtype — bf16
+single-pass matmuls with f32 accumulation, the same contract as this
+module's XLA fallback einsums. Forward-only dropout paths bail to the XLA
+implementation at the interception layer (nn/fused.py), never here.
 
 The kernel needs no online-softmax tiling: encoder sequences (BERT L<=512)
 fit whole (L, L) score matrices in VMEM, so forward and backward are plain
@@ -74,11 +76,18 @@ def _fwd_kernel(n_heads, causal, q_ref, k_ref, v_ref, bias_ref, o_ref):
     d = H // n_heads
     scale = 1.0 / math.sqrt(d)
     keep = _causal_keep(L) if causal else None
+    # MXU operands stay in the STORED dtype (bf16 single-pass on v5e) with
+    # f32 accumulation — exactly the XLA path's einsum contract. Casting to
+    # f32 first (the original kernel) forced multi-pass f32 matmuls and was
+    # the bulk of the measured 22ms-vs-12ms attention-math gap (PERF.md,
+    # VERDICT r3 #4); scale is applied to the f32 scores AFTER the dot,
+    # matching _mha_xla's ordering (and sparing bf16 q a rounding).
+    prec = config.kernel_dot_precision(q_ref.dtype)
     for b in range(nb):
         bias_row = bias_ref[b, 0, :]  # (L,)
         # load each (L, H) block once; per-head slicing happens on values
-        qb = q_ref[b].astype(jnp.float32) * scale
-        kb = k_ref[b].astype(jnp.float32)
+        qb = q_ref[b]
+        kb = k_ref[b]
         vb = v_ref[b]
         outs = []
         for h in range(n_heads):
@@ -87,7 +96,8 @@ def _fwd_kernel(n_heads, causal, q_ref, k_ref, v_ref, bias_ref, o_ref):
             s = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+                precision=prec,
+            ) * scale
             s = s + bias_row[None, :]
             if causal:
                 s = jnp.where(keep, s, NEG_BIG)
@@ -109,35 +119,49 @@ def _bwd_kernel(n_heads, causal, q_ref, k_ref, v_ref, bias_ref, g_ref,
     scale = 1.0 / math.sqrt(d)
     f32 = jnp.float32
     keep = _causal_keep(L) if causal else None
+    # same MXU-operand-dtype policy as the forward kernel: dots take the
+    # stored dtype (bf16 single-pass) with f32 accumulation; the softmax
+    # chain and dS stay f32. This is exactly what XLA's autodiff of the
+    # bf16 einsum reference emits — the original all-f32 kernel quintupled
+    # the backward's MXU passes for bf16 models (VERDICT r3 #4).
+    cd = q_ref.dtype
+    prec = config.kernel_dot_precision(cd)
     for b in range(nb):
         bias_row = bias_ref[b, 0, :]
         for h in range(n_heads):
             cols = slice(h * d, (h + 1) * d)
-            qh = q_ref[b, :, cols].astype(f32) * scale
-            kh = k_ref[b, :, cols].astype(f32)
-            vh = v_ref[b, :, cols].astype(f32)
-            gh = g_ref[b, :, cols].astype(f32)
+            qh = q_ref[b, :, cols]
+            kh = k_ref[b, :, cols]
+            vh = v_ref[b, :, cols]
+            gh = g_ref[b, :, cols]
             s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32
-            ) + bias_row[None, :]
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            ) * scale + bias_row[None, :]
             if causal:
                 # masked entries give p=0 -> ds=0: no masked-gradient leak
                 s = jnp.where(keep, s, NEG_BIG)
             p = jax.nn.softmax(s, axis=-1)
+            pc = p.astype(cd)
             # dV = P^T g
             dv = jax.lax.dot_general(
-                p, gh, (((0,), (0,)), ((), ())), preferred_element_type=f32
+                pc, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
             )
             # dP = g V^T ; dS = P * (dP - rowsum(dP * P))
             dp = jax.lax.dot_general(
-                gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=f32
+                gh, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
             )
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            # dQ = (dS K) * scale ; dK = dS^T (Q * scale)
-            dq = jnp.dot(ds, kh, preferred_element_type=f32) * scale
+            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(cd)
+            # dQ = (dS K) * scale ; dK = (dS^T Q) * scale
+            dq = jnp.dot(
+                ds, kh, preferred_element_type=f32, precision=prec
+            ) * scale
             dk = jax.lax.dot_general(
-                ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=f32
-            )
+                ds, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            ) * scale
             dq_ref[b, :, cols] = dq.astype(dq_ref.dtype)
             dk_ref[b, :, cols] = dk.astype(dk_ref.dtype)
             dv_ref[b, :, cols] = dv.astype(dv_ref.dtype)
