@@ -30,8 +30,13 @@ native:
 		bayeformers_tpu/native/wordpiece.cc -o bayeformers_tpu/native/libwordpiece.so
 	g++ -O3 -std=c++17 -shared -fPIC -pthread \
 		bayeformers_tpu/native/bpe.cc -o bayeformers_tpu/native/libbpe.so
+	g++ -O3 -std=c++17 -shared -fPIC -pthread \
+		bayeformers_tpu/native/unigram.cc -o bayeformers_tpu/native/libunigram.so
 
 test:
+	python -m pytest tests/ -m "not slow" -q
+
+test-full:
 	python -m pytest tests/ -q
 
 test-tpu:
@@ -40,4 +45,4 @@ test-tpu:
 bench:
 	python bench.py
 
-.PHONY: squad-bootstrap mnist-bootstrap vocab-bootstrap gpt2-bootstrap native test test-tpu bench
+.PHONY: squad-bootstrap mnist-bootstrap vocab-bootstrap gpt2-bootstrap native test test-full test-tpu bench

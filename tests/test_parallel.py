@@ -44,6 +44,7 @@ def test_tp_rules_cover_bert(tiny_bert):
 
 
 @pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+@pytest.mark.slow
 def test_sharded_elbo_train_step(tiny_bert, dp, tp):
     """Full MC-ELBO training step jitted over a dp x tp mesh via GSPMD."""
     _, bmodel, bp = tiny_bert
@@ -83,6 +84,7 @@ def test_sharded_elbo_train_step(tiny_bert, dp, tp):
         assert len(leaf.sharding.device_set) == dp * tp
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(tiny_bert):
     """Same step on a 1-device 'mesh' vs 8-device dp mesh: same loss value."""
     _, bmodel, bp = tiny_bert
@@ -141,6 +143,7 @@ def test_shard_map_dp_matches_single_device(tiny_bert):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_shard_map_dp_antithetic_matches_single_device(tiny_bert):
     """The antithetic estimator under dp shard_map must reproduce the
     single-device antithetic step (estimator plumbing + pair seeds survive
@@ -189,6 +192,7 @@ def _dp_shard(batch, mesh):
     )
 
 
+@pytest.mark.slow
 def test_shard_map_dp_local_matches_single_device():
     """The local-reparameterization estimator under dp shard_map, in the
     sigma->0 limit. Unlike the weight-space tiers, LRT's activation-noise
@@ -240,6 +244,7 @@ def aligned_bert():
 
 
 @pytest.mark.parametrize("estimator", ["fused", "antithetic"])
+@pytest.mark.slow
 def test_shard_map_dp_tp_fused_matches_single_device(aligned_bert, estimator):
     """The Megatron-sharded fused step (dp=4 x tp=2 shard_map) must
     reproduce the single-device fused step: same loss, same updated
@@ -282,6 +287,7 @@ def test_shard_map_dp_tp_fused_matches_single_device(aligned_bert, estimator):
     assert len(q.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_shard_map_tp_misaligned_decorrelates_and_runs(tiny_bert):
     """hidden=128 at tp=2 gives 64-wide shards (off the eps-unit grid): the
     fused tier must fall back to per-shard decorrelated draws and still take
@@ -305,6 +311,7 @@ def test_shard_map_tp_misaligned_decorrelates_and_runs(tiny_bert):
     )).all()
 
 
+@pytest.mark.slow
 def test_shard_map_dp_independent_draws(tiny_bert):
     """independent_draws=True (reference-DataParallel semantics,
     `examples/bert_squad.py:245`): each dp shard draws its own sample set —
@@ -467,6 +474,7 @@ def test_gpt2_qkv_permutation_roundtrip_and_alignment():
 
 
 @pytest.mark.parametrize("estimator", ["fused", "antithetic"])
+@pytest.mark.slow
 def test_shard_map_dp_tp_gpt2_fused(estimator):
     """Megatron dp=2 x tp=2 on GPT-2's packed-QKV layout: at near-zero
     sigma the sharded fused step's NLL must match the frequentist NLL of
@@ -517,6 +525,7 @@ def test_shard_map_dp_tp_gpt2_fused(estimator):
     assert np.isfinite(float(m3["loss"]))
 
 
+@pytest.mark.slow
 def test_shard_map_dp_mc_chunked_matches_single_device(tiny_bert):
     """dp + mc_chunk composition: chunked-accumulated grads per shard with
     one psum must reproduce the single-device chunked step."""
@@ -551,6 +560,7 @@ def test_shard_map_dp_mc_chunked_matches_single_device(tiny_bert):
     )
 
 
+@pytest.mark.slow
 def test_gpt2_gspmd_naive_sharded_matches_single_device():
     """GSPMD tier on GPT-2: sharding is a layout annotation, so the packed
     c_attn shards correctly WITHOUT the head-aligned permutation — the
@@ -586,6 +596,7 @@ def test_gpt2_gspmd_naive_sharded_matches_single_device():
     np.testing.assert_allclose(loss_single, loss_sharded, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_t5_tp_rules_and_gspmd_sharded_matches_single_device():
     """T5 tp rules (GSPMD tier only): q/k/v/wi column-, o/wo row-parallel;
     family_tp_fns flags fused-tier tp as unsupported (no T5 attention
@@ -644,6 +655,7 @@ def test_t5_tp_rules_and_gspmd_sharded_matches_single_device():
 
 
 @pytest.mark.parametrize("family", ["llama", "gemma"])
+@pytest.mark.slow
 def test_shard_map_dp_tp_llama_fused(family):
     """Megatron dp=2 x tp=2 on the LLaMA-architecture families: at
     near-zero sigma the sharded fused step's NLL must match the
@@ -709,6 +721,7 @@ def test_sp_mesh_construction_and_batch_sharding():
     assert sharded["labels"].sharding.spec == P("dp")
 
 
+@pytest.mark.slow
 def test_sequence_parallel_gspmd_matches_single_device(tiny_bert):
     """MC-ELBO loss with the token axis sharded over sp (GSPMD sequence
     parallelism — layout only, XLA inserts attention's collectives): same
