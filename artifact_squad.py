@@ -1,0 +1,179 @@
+"""Quality artifact: the REAL-DATA SQuAD QA path end to end on the chip.
+
+The offline box has no SQuAD v1.1 download, so this script constructs a QA
+corpus with a checkable ceiling in the OFFICIAL file formats and runs the
+exact code path a real-dataset user runs: train/dev-v1.1.json + vocab.txt
+-> native WordPiece tokenizer -> doc-stride featurization (utils/squad.py)
+-> full 4-phase recipe (frequentist -> MOPED -> Bayesian eval -> ELBO
+train) -> per-phase EM/F1 via the native `squad_evaluate`
+(reference: `examples/bert_squad.py:357-368`).
+
+Corpus: key-value fact extraction planted in filler text. Each context is a
+stream of filler words with one fact sentence "the {key} is {value}"
+inserted at a random position; the question is "what is the {key}" and the
+answer span is the value word. The mapping is exactly learnable (EM ceiling
+100%: attend to "{key} is", point at the next token), values occur exactly
+once per context, and filler/keys/values are disjoint lexicons.
+
+Multi-window by construction: contexts draw 100-240 tokens while the
+max_seq=160 recipe fits ~153 context tokens per window, so roughly half the
+contexts span two doc-stride windows and a fixed share of answers live ONLY
+in the second window — training windows without the answer point at [CLS]
+(HF semantics) and the dev decode must run the best-window compete
+(`workloads/bert_squad.py::decode_and_score`) to find them.
+
+Reproduces: `python artifact_squad.py` (deterministic; writes
+dataset/squad_artifact/ and logs/squad-artifact.*).
+"""
+import json
+import os
+
+import numpy as np
+
+ROOT = "dataset/squad_artifact"
+MAX_SEQ = 160
+SEED = 0
+
+KEYS = [
+    "color", "animal", "city", "metal", "river", "fruit",
+    "planet", "flower", "stone", "tree", "bird", "tool",
+]
+VALUES = {
+    "color": ["red", "blue", "green", "amber", "violet", "crimson"],
+    "animal": ["wolf", "otter", "lynx", "badger", "heron", "marten"],
+    "city": ["lisbon", "oslo", "quito", "nairobi", "hanoi", "perth"],
+    "metal": ["copper", "zinc", "cobalt", "nickel", "tungsten", "tin"],
+    "river": ["danube", "mekong", "volga", "rhone", "zambezi", "loire"],
+    "fruit": ["mango", "plum", "quince", "papaya", "lychee", "fig"],
+    "planet": ["mars", "venus", "saturn", "neptune", "mercury", "jupiter"],
+    "flower": ["tulip", "orchid", "peony", "dahlia", "iris", "lotus"],
+    "stone": ["granite", "basalt", "marble", "slate", "quartz", "flint"],
+    "tree": ["oak", "willow", "cedar", "aspen", "maple", "rowan"],
+    "bird": ["swift", "plover", "kestrel", "siskin", "dunlin", "avocet"],
+    "tool": ["chisel", "awl", "plane", "rasp", "gouge", "bevel"],
+}
+FILLER = [
+    "meanwhile", "travelers", "crossed", "old", "bridges", "carrying",
+    "heavy", "baskets", "toward", "distant", "markets", "where", "voices",
+    "echoed", "under", "arches", "and", "lanterns", "swung", "slowly",
+    "above", "worn", "cobblestones", "while", "merchants", "counted",
+    "coins", "beside", "wooden", "stalls", "as", "evening", "settled",
+    "over", "rooftops", "bringing", "quiet", "rain", "onto", "gardens",
+]
+
+
+def build_vocab(path: str) -> None:
+    """bert-layout vocab.txt: featurize's default cls_id=101 / sep_id=102
+    must be the real [CLS]/[SEP] rows (utils/squad.py::featurize)."""
+    vocab = (
+        ["[PAD]"] + [f"[unused{i}]" for i in range(99)]
+        + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+        + ["what", "is", "the"] + KEYS
+        + sorted({v for vs in VALUES.values() for v in vs})
+        + FILLER
+    )
+    with open(path, "w") as fh:
+        fh.write("\n".join(vocab))
+
+
+def gen_example(rng: np.random.Generator, qid: str) -> dict:
+    key = KEYS[rng.integers(len(KEYS))]
+    value = VALUES[key][rng.integers(len(VALUES[key]))]
+    n_filler = int(rng.integers(96, 237))  # +4 fact words -> 100..240 tokens
+    words = [FILLER[i] for i in rng.integers(0, len(FILLER), n_filler)]
+    pos = int(rng.integers(0, n_filler + 1))
+    words[pos:pos] = ["the", key, "is", value]
+    i_value = pos + 3
+    answer_start = sum(len(w) + 1 for w in words[:i_value])
+    context = " ".join(words)
+    assert context[answer_start:answer_start + len(value)] == value
+    return {
+        "qid": qid,
+        "question": f"what is the {key}",
+        "context": context,
+        "answers": [{"text": value, "answer_start": answer_start}],
+        "n_tokens": len(words),
+        "answer_token": i_value,
+    }
+
+
+def write_squad_json(path: str, examples: list[dict]) -> None:
+    data = {
+        "version": "1.1",
+        "data": [{
+            "title": "artifact",
+            "paragraphs": [
+                {
+                    "context": ex["context"],
+                    "qas": [{
+                        "id": ex["qid"],
+                        "question": ex["question"],
+                        "answers": ex["answers"],
+                    }],
+                }
+                for ex in examples
+            ],
+        }],
+    }
+    with open(path, "w") as fh:
+        json.dump(data, fh)
+
+
+def main():
+    rng = np.random.default_rng(SEED)
+    os.makedirs(ROOT, exist_ok=True)
+    train_ex = [gen_example(rng, f"tr{i}") for i in range(768)]
+    dev_ex = [gen_example(rng, f"dev{i}") for i in range(117)]
+    # corpus shape stats (the multi-window claim, checked not assumed):
+    # window 1 holds ~153 context tokens at max_seq=160
+    window1 = MAX_SEQ - 6 - 1
+    n_multi = sum(ex["n_tokens"] > window1 for ex in dev_ex)
+    n_w2_answer = sum(ex["answer_token"] >= window1 for ex in dev_ex)
+    print(f"dev: {len(dev_ex)} questions, {n_multi} span 2 windows, "
+          f"{n_w2_answer} answers only in window 2", flush=True)
+    assert n_multi > 20 and n_w2_answer > 5
+
+    build_vocab(os.path.join(ROOT, "vocab.txt"))
+    write_squad_json(os.path.join(ROOT, "train-v1.1.json"), train_ex)
+    write_squad_json(os.path.join(ROOT, "dev-v1.1.json"), dev_ex)
+    # stale feature caches would shadow a regenerated corpus
+    for f in os.listdir(ROOT):
+        if f.startswith("features_"):
+            os.remove(os.path.join(ROOT, f))
+
+    from bayeformers_tpu.workloads import bert_squad
+
+    f1 = bert_squad.train(
+        exp="squad-artifact",
+        data_dir=ROOT,
+        tokenizer=os.path.join(ROOT, "vocab.txt"),
+        size="tiny",
+        max_seq=MAX_SEQ,
+        logs="logs",
+        epochs=4,
+        b_epochs=3,
+        samples=10,
+        batch_size=13,
+        lr=5e-4,  # from-scratch tiny model (the reference's 5e-5 is a
+        delta=0.05,  # pretrained-base fine-tune rate)
+        seed=SEED,
+    )
+    print(f"final f1={f1:.4f}", flush=True)
+
+    summary = {
+        "corpus": {
+            "train_questions": len(train_ex),
+            "dev_questions": len(dev_ex),
+            "dev_multi_window": int(n_multi),
+            "dev_answer_in_window2": int(n_w2_answer),
+            "max_seq": MAX_SEQ,
+            "doc_stride": bert_squad.DOC_STRIDE,
+        },
+        "final_f1": float(f1),
+    }
+    with open("logs/squad_artifact_summary.json", "w") as fh:
+        json.dump(summary, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()
