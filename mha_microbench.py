@@ -18,7 +18,11 @@ import bench
 from bayeformers_tpu.ops import attention as at
 
 N, L, H, HEADS = 80, 128, 768, 12
-NSCAN, OUTER = 20, 4
+# NSCAN must amortize the ~29 ms per-dispatch floor far below the signal:
+# at 20 scans a 0.3 ms op gives only 6 ms signal per 29 ms dispatch and
+# floor variance between runs swamps comparisons (measured fwd > fwd+bwd,
+# unphysical); 200 scans puts the signal at 60+ ms
+NSCAN, OUTER = 200, 4
 
 
 def main():
