@@ -122,23 +122,27 @@ def num_batches(n: int, batch_size: int, drop_remainder: bool = True) -> int:
 
 def load_lm_corpus(
     corpus: str, seq: int, *, vocab_json: str | None = None,
-    merges_txt: str | None = None, test_frac: float = 0.1, seed: int = 0,
+    merges_txt: str | None = None, tokenizer_json: str | None = None,
+    test_frac: float = 0.1, seed: int = 0,
 ):
     """Tokenize a real text corpus into packed causal-LM windows.
 
     ``corpus`` is a ``.txt`` file or a directory of them (read in sorted
-    order). Documents are joined with ``<|endoftext|>`` when the vocab has
-    it (GPT-2 document-packing convention) and the id stream is chunked
-    into non-overlapping ``seq``-length windows — the same packing the
-    reference's HF pipelines produce, built here on the native BPE
-    tokenizer (`native/bpe.cc`) instead of a Python tokenizer.
+    order). Documents are joined with the vocabulary's document separator
+    (GPT-2's ``<|endoftext|>`` / SentencePiece's ``</s>``) when present and
+    the id stream is chunked into non-overlapping ``seq``-length windows —
+    the same packing the reference's HF pipelines produce, built here on
+    the native tokenizers instead of Python ones.
 
-    ``vocab_json``/``merges_txt`` default to ``vocab.json``/``merges.txt``
-    next to the corpus, else ``dataset/gpt2/``. Returns
+    Tokenizer resolution: explicit ``tokenizer_json`` (HF Unigram —
+    the LLaMA/Mistral/Gemma/T5 vocabulary family, `native/unigram.cc`);
+    explicit ``vocab_json``/``merges_txt`` (GPT-2 BPE, `native/bpe.cc`);
+    else ``vocab.json``+``merges.txt`` next to the corpus, then
+    ``tokenizer.json`` next to the corpus, then ``dataset/gpt2/``. Returns
     ``(train_ids, test_ids, vocab_size, eot_id)`` with int32 ``(N, seq)``
     id arrays shuffled/split deterministically by ``seed``.
     """
-    from bayeformers_tpu.native import BPETokenizer
+    from bayeformers_tpu.native import BPETokenizer, UnigramTokenizer
 
     if os.path.isdir(corpus):
         paths = sorted(
@@ -152,6 +156,10 @@ def load_lm_corpus(
     if not paths:
         raise FileNotFoundError(f"no .txt files under {corpus}")
 
+    def _near(name):
+        cand = os.path.join(base, name)
+        return cand if os.path.exists(cand) else None
+
     def _find(explicit, name):
         if explicit:
             return explicit
@@ -161,12 +169,26 @@ def load_lm_corpus(
                 return cand
         raise FileNotFoundError(
             f"{name} not found next to {corpus} or under dataset/gpt2/ "
-            "(run `make gpt2-bootstrap` or pass vocab_json/merges_txt)"
+            "(run `make gpt2-bootstrap` or pass vocab_json/merges_txt/"
+            "tokenizer_json)"
         )
 
-    tok = BPETokenizer(_find(vocab_json, "vocab.json"),
-                       _find(merges_txt, "merges.txt"))
-    eot = tok.token_id("<|endoftext|>")
+    if tokenizer_json:
+        tok = UnigramTokenizer.from_tokenizer_json(tokenizer_json)
+    elif vocab_json or merges_txt or (
+        _near("vocab.json") and _near("merges.txt")
+    ):
+        tok = BPETokenizer(_find(vocab_json, "vocab.json"),
+                           _find(merges_txt, "merges.txt"))
+    elif _near("tokenizer.json"):
+        tok = UnigramTokenizer.from_tokenizer_json(_near("tokenizer.json"))
+    else:
+        tok = BPETokenizer(_find(None, "vocab.json"),
+                           _find(None, "merges.txt"))
+    if isinstance(tok, UnigramTokenizer):
+        eot = tok.piece_id("</s>")
+    else:
+        eot = tok.token_id("<|endoftext|>")
     stream: list[int] = []
     for path in paths:
         with open(path, encoding="utf-8") as fh:

@@ -119,6 +119,7 @@ def test_fused_attention_matches_default_path(tiny_bert):
         )
 
 
+@pytest.mark.slow
 def test_fused_attention_grads_and_antithetic(tiny_bert):
     """ELBO gradients flow through the attention op (both estimators)."""
     bmodel, bp, batch = tiny_bert
@@ -277,6 +278,7 @@ def test_mha_causal_gradients_match_xla_autodiff():
                                    atol=1e-6, err_msg=name)
 
 
+@pytest.mark.slow
 def test_gpt2_fused_attention_matches_default_path():
     """GPT-2's whole-attention interception (packed c_attn split + causal
     mha + c_proj) must reproduce the per-Conv1D interception path (stock

@@ -23,6 +23,7 @@ def _batch(bundle, n=4, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_clip_conversion_scope_and_sigma0_parity(bundle):
     """Both towers' Dense projections convert; the patch-embedding Conv,
     token/position/class embeddings, LayerNorms, and logit_scale stay
@@ -66,6 +67,7 @@ def test_clip_conversion_scope_and_sigma0_parity(bundle):
     assert np.isfinite(np.asarray(aux_f["log_variational_posterior"])).all()
 
 
+@pytest.mark.slow
 def test_clip_contrastive_four_phase(bundle):
     """Mini 4-phase recipe on the paired synthetic task: frequentist
     contrastive training beats chance on diagonal retrieval, MOPED

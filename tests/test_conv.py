@@ -10,6 +10,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import bayeformers_tpu as bf
 from bayeformers_tpu.nn import fused as fused_lib
@@ -112,6 +113,7 @@ def test_lower_conv_matches_lax_conv():
         )
 
 
+@pytest.mark.slow
 def test_conv_sigma0_parity_all_tiers():
     """MOPED delta->0: naive, fused, flipout, and lrt tiers all reproduce
     the frequentist forward through converted 2-D convs."""
@@ -180,6 +182,7 @@ def test_conv_rho_gets_gradients():
     assert float(jnp.abs(g.rho["c1/bias"]).max()) > 0
 
 
+@pytest.mark.slow
 def test_vit_patch_conv_converts():
     """ViT with CONV_RULE: the patch-projection conv becomes Bayesian too,
     and the fused tier still reproduces the frequentist logits at sigma->0."""

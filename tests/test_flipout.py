@@ -79,6 +79,7 @@ def test_flipout_decorrelates_examples(setup):
     assert not np.allclose(np.asarray(out_flip[0, 0]), np.asarray(out_flip[0, 1]))
 
 
+@pytest.mark.slow
 def test_flipout_gradient_variance_reduction(setup):
     """Flipout kills the CROSS-EXAMPLE covariance of the perturbation
     gradient. With B identical examples (maximal correlation — the regime
@@ -131,6 +132,7 @@ def test_flipout_trains(setup):
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+@pytest.mark.slow
 def test_flipout_gpt2_conv1d():
     """Flipout over the decoder family: FlaxConv1D routes through the
     transposed dense path — sigma->0 reproduces the frequentist logits and

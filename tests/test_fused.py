@@ -393,6 +393,7 @@ def test_antithetic_is_unbiased_estimator(setup):
     assert np.abs(anti - exact).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_antithetic_reduces_gradient_variance(setup):
     """The antithetic estimator's advertised property: across repeated
     draws, gradient variance is at most the independent estimator's (it

@@ -30,7 +30,11 @@ def _nonzero_params(params):
     )
 
 
-@pytest.mark.parametrize("family", ["llama", "mistral", "gemma"])
+@pytest.mark.parametrize("family", [
+    "llama",
+    pytest.param("mistral", marks=pytest.mark.slow),
+    pytest.param("gemma", marks=pytest.mark.slow),
+])
 def test_llama_family_sigma0_parity_all_tiers(family):
     """sigma->0: fused (GQA attention handler), naive (vmapped), and local
     reparameterization tiers must all reproduce the frequentist forward —
@@ -145,6 +149,7 @@ def test_mistral_sliding_window_fallback():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_llama_trains_elbo_and_generates():
     """Real-delta ELBO step: finite loss, nonzero rho grads through both
     attention and the gated MLP; posterior-predictive generation produces

@@ -11,6 +11,7 @@ itself.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import bayeformers_tpu as bf
 from bayeformers_tpu.models import bert as bert_lib
@@ -51,6 +52,7 @@ def test_roberta_position_ids_match_hf_wrapper():
     )
 
 
+@pytest.mark.slow
 def test_roberta_converts_and_trains_elbo():
     bundle = bert_lib.build_model("roberta-base", size="tiny", seed=0)
     bmodel, bparams = bf.to_bayesian(
@@ -185,6 +187,7 @@ def test_albert_fused_attention_matches_default_path():
     )
 
 
+@pytest.mark.slow
 def test_gpt2_family_converts_and_trains():
     """GPT-2 (decoder family, FlaxConv1D projections with (out, in)
     kernels): the default dense rule converts exactly the c_attn/c_proj/
@@ -252,6 +255,7 @@ def test_gpt2_family_converts_and_trains():
     assert np.isfinite(gmax) and gmax > 0
 
 
+@pytest.mark.slow
 def test_t5_family_converts_and_trains():
     """T5 (encoder-decoder, bias-free nn.Dense everywhere): the default
     rules convert exactly the projection kernels (q/k/v/o, wi/wo per block;

@@ -68,6 +68,7 @@ def test_ep_matches_single_device(setup):
     np.testing.assert_allclose(float(got_lp), float(want_lp), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ep_train_step_matches_single_device(setup):
     moe, params, x = setup
     y = jnp.asarray(

@@ -490,3 +490,50 @@ def test_load_lm_corpus_errors(tmp_path):
     (loose / "c.txt").write_text("hello", encoding="utf-8")
     with pytest.raises(FileNotFoundError, match="gpt2-bootstrap"):
         load_lm_corpus(str(loose), seq=4)
+
+
+def _write_unigram_corpus(root, reps=60):
+    """HF Unigram tokenizer.json (LLaMA-style Prepend normalizer) + two
+    .txt docs under ``root`` — the SentencePiece-family counterpart of
+    _write_bpe_corpus for load_lm_corpus's tokenizer.json resolution."""
+    import random
+
+    from tokenizers import Tokenizer, models, normalizers
+
+    rng = random.Random(3)
+    pieces = [("<unk>", 0.0), ("</s>", -2.0), ("▁", -6.0)]
+    for ch in sorted(set("helloworldthequickbrownfox.!")):
+        pieces.append((ch, rng.uniform(-10.0, -6.0)))
+    for p in ["▁hello", "▁world", "▁the", "▁quick", "▁brown", "▁fox",
+              "hello", "world"]:
+        pieces.append((p, rng.uniform(-5.0, -1.0)))
+    tok = Tokenizer(models.Unigram(pieces, 0, False))
+    tok.normalizer = normalizers.Sequence([
+        normalizers.Prepend("▁"), normalizers.Replace(" ", "▁"),
+    ])
+    tok.save(str(root / "tokenizer.json"))
+    (root / "a.txt").write_text("hello world. " * reps, encoding="utf-8")
+    (root / "b.txt").write_text("the quick brown fox! " * reps,
+                                encoding="utf-8")
+    return len(pieces)
+
+
+def test_load_lm_corpus_unigram_tokenizer_json(tmp_path):
+    """A corpus with tokenizer.json (and no vocab.json/merges.txt) rides
+    the native Unigram tokenizer: SentencePiece-family (LLaMA/T5) real-text
+    training data without GPT-2 artifacts (VERDICT r3 #3 consumer)."""
+    from bayeformers_tpu.utils.data import load_lm_corpus
+
+    vocab_size = _write_unigram_corpus(tmp_path)
+    tr, te, v, eot = load_lm_corpus(str(tmp_path), seq=16, seed=3)
+    assert v == vocab_size
+    assert eot == 1  # </s> is the document separator
+    assert tr.dtype == np.int32 and tr.shape[1] == 16
+    assert int(np.sum(tr == eot) + np.sum(te == eot)) in (1, 2)
+    assert int(max(tr.max(), te.max())) < v
+    # explicit tokenizer_json path form
+    tr2, _, _, _ = load_lm_corpus(
+        str(tmp_path / "a.txt"), seq=16, seed=3,
+        tokenizer_json=str(tmp_path / "tokenizer.json"),
+    )
+    assert tr2.shape[1] == 16

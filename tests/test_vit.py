@@ -7,6 +7,7 @@ embeddings, mask-free attention, NHWC pixel inputs.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 import bayeformers_tpu as bf
@@ -88,6 +89,7 @@ def test_vit_attention_handler_fires_and_matches():
     )
 
 
+@pytest.mark.slow
 def test_vit_four_phase_recipe():
     """Mini 4-phase recipe on separable synthetic images: frequentist train
     beats chance, MOPED conversion preserves accuracy, ELBO train keeps the

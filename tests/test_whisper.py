@@ -23,6 +23,7 @@ def _nll(logits, dec_ids):
     return -jnp.sum(jnp.take_along_axis(lp, tgt[..., None], axis=-1))
 
 
+@pytest.mark.slow
 def test_whisper_conversion_scope_and_sigma0_parity(bundle):
     """Every Dense projection in both towers converts (incl. the bias-free
     k_proj); the conv stems, embeddings, and LayerNorms stay frequentist.
@@ -68,6 +69,7 @@ def test_whisper_conversion_scope_and_sigma0_parity(bundle):
     assert np.isfinite(np.asarray(aux_f["log_variational_posterior"])).all()
 
 
+@pytest.mark.slow
 def test_whisper_mini_recipe(bundle):
     """Frequentist teacher-forced training learns the deterministic
     audio->transcript mapping above chance; MOPED preserves it; an ELBO

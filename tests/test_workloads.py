@@ -182,6 +182,7 @@ def test_gpt2_lm_tiny(tmp_path):
     assert any(p.suffix == ".json" for p in tmp_path.iterdir())
 
 
+@pytest.mark.slow
 def test_gpt2_lm_dp_tp_fused_tiny(tmp_path):
     """The GPT-2 workload end to end on a dp=2 x tp=2 mesh with the fused
     estimator: packed-QKV permutation + Megatron sharding + shard_map step,
@@ -198,6 +199,7 @@ def test_gpt2_lm_dp_tp_fused_tiny(tmp_path):
     assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1
 
 
+@pytest.mark.slow
 def test_llama_lm_dp_tp_fused_tiny(tmp_path):
     """The causal-LM workload driving a LLaMA-architecture family end to
     end on a dp=2 x tp=2 mesh with the fused estimator: separate q/k/v
@@ -283,3 +285,26 @@ def test_stack_lm_ep_workload(tmp_path):
     assert last["mode"] == "ep" and last["n_dev"] == 2
     assert np.isfinite(last["loss"])
     assert last["acc"] > 0.7
+
+
+@pytest.mark.slow
+def test_llama_lm_unigram_corpus_tiny(tmp_path):
+    """The LLaMA-family causal-LM workload on a REAL text corpus through
+    the native Unigram tokenizer (tokenizer.json resolution in
+    utils/data.py::load_lm_corpus) — the SentencePiece-vocabulary
+    counterpart of the GPT-2/BPE corpus test."""
+    from test_utils import _write_unigram_corpus
+    from bayeformers_tpu.workloads import gpt2_lm
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    _write_unigram_corpus(corpus, reps=300)
+    results = gpt2_lm.train(
+        model="llama", logs=str(tmp_path), size="tiny", batch_size=4,
+        seq=32, n_train=48, n_test=16, samples=2, delta=0.01,
+        estimator="fused", limit_batches=3, corpus=str(corpus),
+    )
+    assert "bayes_rate" not in results
+    for k, v in results.items():
+        assert np.isfinite(v), (k, v)
+    assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1
