@@ -226,3 +226,57 @@ def test_unsupported_conv_raises_loud():
         assert "feature_group_count" in str(e)
     else:
         raise AssertionError("expected NotImplementedError")
+
+
+def test_converted_conv_transpose_raises_not_silently_frequentist():
+    """The shape-only CONV_RULE also matches nn.ConvTranspose param groups,
+    but the interception tiers only lower isinstance(nn.Conv) modules — a
+    converted ConvTranspose must RAISE (check_converted_paths_seen), not
+    silently run the stock forward at mu with no sampling and no KL
+    (advisor r3, medium)."""
+    import flax.linen as nn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.ConvTranspose(4, (3,))(x)
+            return nn.Dense(2)(x.mean(axis=1))
+
+    net = Net()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 3)),
+                    jnp.float32)
+    params = net.init(jax.random.key(0), x)["params"]
+    apply_fn = lambda p, x: net.apply({"params": p}, x)
+    bmodel, bp = bf.to_bayesian(
+        apply_fn, params, delta=0.05, freeze=True, rules=CONV_RULES
+    )
+    # the rule DID convert the transpose kernel (that's the hazard)
+    assert any("ConvTranspose" in p for p in bmodel.spec.paths)
+    for mc in (bmodel.mc_apply_fused, bmodel.mc_apply_flipout,
+               bmodel.mc_apply_lrt):
+        with pytest.raises(NotImplementedError, match="never .*intercepted|intercepted"):
+            mc(bp, jax.random.key(1), 2, x)
+
+
+def test_converted_masked_conv_raises():
+    """lower_conv must refuse kernel masks rather than silently computing
+    the unmasked convolution (advisor r3, low)."""
+    import flax.linen as nn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            m = jnp.ones((3, 3, 4), jnp.float32).at[0].set(0.0)
+            x = nn.Conv(4, (3,), mask=m)(x)
+            return x.mean(axis=1)
+
+    net = Net()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 3)),
+                    jnp.float32)
+    params = net.init(jax.random.key(0), x)["params"]
+    apply_fn = lambda p, x: net.apply({"params": p}, x)
+    bmodel, bp = bf.to_bayesian(
+        apply_fn, params, delta=0.05, freeze=True, rules=CONV_RULES
+    )
+    with pytest.raises(NotImplementedError, match="mask"):
+        bmodel.mc_apply_fused(bp, jax.random.key(1), 2, x)
