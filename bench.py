@@ -24,10 +24,24 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import statistics
 import time
 
 import jax
+
+# Persistent compilation cache (round-4 hardening): compile cost over the
+# tunnel is the entire bench-timeout risk (BENCH_r03 rc=124 was ~13 stages
+# x 4-5 min/compile on a slow day). The cache is keyed on HLO + flags +
+# jaxlib version, so a bench run warmed in an earlier session makes the
+# driver's end-of-round run near-compile-free (verified cross-process on
+# the axon backend: 1.65 s -> 0.28 s). Opt out: BAYEFORMERS_NO_COMPILE_CACHE.
+if not os.environ.get("BAYEFORMERS_NO_COMPILE_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -61,6 +75,33 @@ _T0 = time.monotonic()
 
 def _budget_left() -> float:
     return BUDGET_S - (time.monotonic() - _T0)
+
+
+# --- hard wall-clock cap (round-4 hardening, second layer) ----------------
+# If the process is still alive at HARD_S, emit the best result assembled so
+# far and exit 0 instead of letting the driver's outer `timeout` kill us
+# with nothing on stdout (the BENCH_r03 rc=124 failure mode). Python only
+# delivers SIGALRM between bytecodes, so an in-flight native XLA compile
+# finishes first — the true worst case is HARD_S + one compile, still far
+# inside the ~20 min the driver demonstrably allows (BENCH_r02 passed with
+# a full ~13-stage run).
+HARD_S = float(os.environ.get("BAYEFORMERS_BENCH_HARD_S", "840"))
+_PROVISIONAL = None
+
+
+def _emit_best_and_exit(signum=None, frame=None):
+    out = _PROVISIONAL or {
+        "metric": "bert_base_glue_mc10_elbo_steps_per_sec",
+        "value": 0.0,
+        "unit": "steps/sec",
+        "vs_baseline": 0.0,
+        "extra": {
+            "error": f"hard cap {HARD_S}s hit before any stage completed",
+            "bench_elapsed_s": round(time.monotonic() - _T0, 1),
+        },
+    }
+    print(json.dumps(out), flush=True)
+    os._exit(0)
 
 
 _DISPATCH_FLOOR = None
@@ -383,6 +424,43 @@ def main():
         stage_s[name] = round(time.monotonic() - t0, 1)
         return out
 
+    def _update_provisional():
+        """Refresh the hard-cap fallback line after each required stage so a
+        capped run still reports every measurement it actually made. When
+        the cap lands before the naive stage, vs_baseline falls back to the
+        last DRIVER-captured naive (BENCH_r02: 131.77 ms bf16) and says so —
+        naive bf16 has measured 131-132 ms in every round, and the fallback
+        can only be conservative if the chip got faster."""
+        global _PROVISIONAL
+        done = {k: v for k, v in results.items() if v is not None}
+        cands = [
+            v[0] for k, v in done.items()
+            if k in ("antithetic_bf16", "fused_bf16")
+        ]
+        if not cands:
+            return
+        t_head = min(cands)
+        naive = [v[0] for k, v in done.items() if k.startswith("naive_")]
+        if naive:
+            t_nv, src = min(naive), "measured this run"
+        else:
+            t_nv, src = 131.77e-3, "BENCH_r02 driver-captured naive_bf16"
+        _PROVISIONAL = {
+            "metric": "bert_base_glue_mc10_elbo_steps_per_sec",
+            "value": round(1.0 / t_head, 4),
+            "unit": "steps/sec",
+            "vs_baseline": round(t_nv / t_head, 4),
+            "extra": {
+                "backend": backend,
+                "provisional": True,
+                "naive_baseline_source": src,
+                **{f"{k}_step_ms": round(v[0] * 1e3, 2)
+                   for k, v in done.items()},
+                "stage_seconds": dict(stage_s),
+                "bench_elapsed_s": round(time.monotonic() - _T0, 1),
+            },
+        }
+
     # --- required tier: exactly the 3 compiles the headline needs -------
     bmodel16, bparams16 = build(jnp.bfloat16)
     results["antithetic_bf16"] = stage(
@@ -390,16 +468,19 @@ def main():
         lambda: bench_train(bmodel16, bparams16, inputs, labels, "antithetic"),
         required=True,
     )
+    _update_provisional()
     results["fused_bf16"] = stage(
         "fused_bf16", 60,
         lambda: bench_train(bmodel16, bparams16, inputs, labels, "fused"),
         required=True,
     )
+    _update_provisional()
     results["naive_bf16"] = stage(
         "naive_bf16", 60,
         lambda: bench_train(bmodel16, bparams16, inputs, labels, "naive"),
         required=True,
     )
+    _update_provisional()
 
     # --- extras, budget permitting (each marks itself skipped) ----------
     results["frequentist_floor_bf16"] = stage(
@@ -538,8 +619,13 @@ def main():
         "vs_baseline": round(t_naive_best / t_fused, 4),
         "extra": extra,
     }
+    signal.alarm(0)  # full run completed; the fallback line must not fire
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
+    # Alarm only when run as the bench proper: importers (mha_microbench,
+    # perf probes) borrow timeit_scan and must not inherit a kill timer.
+    signal.signal(signal.SIGALRM, _emit_best_and_exit)
+    signal.alarm(int(HARD_S))
     main()

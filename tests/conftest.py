@@ -23,3 +23,16 @@ import jax  # noqa: E402
 if os.environ.get("BAYEFORMERS_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the default gate's wall time is almost all
+# XLA compiles (ROUND4.md: 16:42, flat 25-35 s compile-bound tail), so repeat
+# runs hit the disk cache instead. Keyed on HLO + flags + jaxlib version —
+# code changes that alter a traced program re-compile automatically. Separate
+# directory from bench.py's TPU cache. Opt out: BAYEFORMERS_NO_COMPILE_CACHE.
+if not os.environ.get("BAYEFORMERS_NO_COMPILE_CACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache_cpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
