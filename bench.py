@@ -26,6 +26,7 @@ import json
 import os
 import signal
 import statistics
+import sys
 import time
 
 import jax
@@ -385,8 +386,35 @@ def bench_matmul_ratio():
     return out
 
 
+def _preflight():
+    """Chip-health probe before any model build. A predecessor process that
+    crashed mid-allocation can leave the chip RESOURCE_EXHAUSTED for minutes
+    (observed 2026-08-19: a run started 10 min after an OOM crash failed its
+    very first cache read and every extra stage after it). Retry a tiny
+    allocation for a bounded window so a transient poisoned chip delays the
+    bench instead of zeroing it; when healthy this costs one trivial compile
+    that doubles as tunnel warm-up."""
+    deadline = time.monotonic() + float(
+        os.environ.get("BAYEFORMERS_BENCH_PREFLIGHT_S", "180")
+    )
+    while True:
+        try:
+            x = jnp.ones((256, 256), jnp.float32)
+            float((x @ x).sum())
+            return
+        except Exception as e:  # noqa: BLE001 — retry any backend error
+            if time.monotonic() >= deadline:
+                print(f"preflight: chip still unhealthy ({type(e).__name__}); "
+                      "proceeding — stage isolation will record failures",
+                      file=sys.stderr, flush=True)
+                return
+            jax.clear_caches()
+            time.sleep(20.0)
+
+
 def main():
     backend = jax.default_backend()
+    _preflight()
     bundle = bert_lib.build_bert(task="classification", n_labels=2, size="base")
     batch = bert_lib.synthetic_batch(
         np.random.default_rng(0), B, L, bundle.config.vocab_size, 2
@@ -420,7 +448,19 @@ def main():
             skipped.append(name)
             return None
         t0 = time.monotonic()
-        out = fn()
+        try:
+            out = fn()
+        except Exception as e:  # noqa: BLE001 — any stage failure is survivable
+            # A failing stage must never cost the driver its JSON line
+            # (observed: fused_f32 RESOURCE_EXHAUSTED after the bf16 tier's
+            # executables filled HBM). Extras record the error and continue
+            # after dropping whatever the failure left behind; a required
+            # stage emits the best provisional result assembled so far.
+            if required:
+                _emit_best_and_exit()
+            skipped.append(f"{name}:error:{type(e).__name__}")
+            jax.clear_caches()
+            return None
         stage_s[name] = round(time.monotonic() - t0, 1)
         return out
 
@@ -490,15 +530,23 @@ def main():
     micro = stage("micro_matmul_ratio", 120, bench_matmul_ratio)
     bmodel32 = bparams32 = None
     if _budget_left() >= 120:  # the f32 pair shares one model build
+        # Drop the bf16 tier's cached executables first: their embedded
+        # constants pin HBM, and the fused f32 leg (S=10 f32 W residuals,
+        # ~4.4 GB live) has OOMed with them resident. Later bf16 extras
+        # (flipout/local) compile fresh programs anyway.
+        jax.clear_caches()
         bmodel32, bparams32 = build(jnp.float32)
-        results["naive_f32"] = stage(
-            "naive_f32", 60,
-            lambda: bench_train(bmodel32, bparams32, inputs, labels, "naive"),
-        )
+        # heavier leg first, while memory is cleanest
         results["fused_f32"] = stage(
             "fused_f32", 60,
             lambda: bench_train(bmodel32, bparams32, inputs, labels, "fused"),
         )
+        results["naive_f32"] = stage(
+            "naive_f32", 60,
+            lambda: bench_train(bmodel32, bparams32, inputs, labels, "naive"),
+        )
+        del bmodel32, bparams32
+        jax.clear_caches()
     else:
         skipped.extend(["naive_f32", "fused_f32"])
     squad = stage("squad", 120, bench_squad_chunked)
