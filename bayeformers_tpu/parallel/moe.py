@@ -150,7 +150,18 @@ class BayesMoE:
         the KL partials are psummed over ``axis``.
         """
         E_local = params["wi_mu"].shape[0]
-        dispatch, combine = self.route(params["router"], x)
+        router = params["router"]
+        if ep > 1:
+            # Megatron "f" at the replication boundary: forward identity,
+            # backward psum. Each device's local backward yields only ITS
+            # experts' cotangent contribution to x and the router (the
+            # dispatch/combine slices cut the other experts' paths), so
+            # without the psum every upstream gradient is a 1/ep-scaled
+            # partial — measured exactly that (probe 2026-08-19: router
+            # pmean rel err 0.75 at ep=4; Adam's scale invariance masked it).
+            x = coll.copy_to_shards(x, axis)
+            router = coll.copy_to_shards(router, axis)
+        dispatch, combine = self.route(router, x)
         if ep > 1:
             shard = jax.lax.axis_index(axis)
             e0 = shard * E_local
@@ -203,9 +214,10 @@ def make_ep_train_step(
     """jitted shard_map ELBO training step over the ``ep`` mesh.
 
     ``loss_fn(out, batch) -> (nll_sum, metrics)`` on the MoE output
-    ``(T, d)``. Expert-leaf grads are shard-local except the router's,
-    which every device computes identically from the replicated combine —
-    pmean'd for safety against fp drift across devices.
+    ``(T, d)``. Expert-leaf grads are shard-local; the router's are full
+    and device-invariant by construction (``apply_local`` wraps the router
+    and x in the Megatron "f" collective, which psums the per-device
+    expert-partial cotangents in backward).
     """
     import optax
     from jax.sharding import PartitionSpec as P
@@ -232,7 +244,6 @@ def make_ep_train_step(
         (l, (nll, metrics)), grads = jax.value_and_grad(
             loss, has_aux=True
         )(params)
-        grads = dict(grads, router=jax.lax.pmean(grads["router"], "ep"))
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, dict(metrics, loss=l, nll=nll)

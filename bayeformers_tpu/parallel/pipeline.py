@@ -73,6 +73,10 @@ class BlockStack:
         b_mu, b_rho = init_lib.DEFAULT_UNIFORM(ks[1], (L, d))
         return {"mu": mu, "rho": rho, "bias_mu": b_mu, "bias_rho": b_rho}
 
+    def dummy_input(self) -> jax.Array:
+        """Minimal activation for the KL probe (see ``pipeline_apply``)."""
+        return jnp.zeros((1, self.features))
+
     def block_apply(self, leaf, key: jax.Array, global_idx: jax.Array,
                     h: jax.Array):
         """One block on one activation ``(mb, d)``; returns
@@ -119,25 +123,29 @@ def make_pp_mesh(pp: int, devices=None) -> jax.sharding.Mesh:
 
 
 def pipeline_apply(
-    stack: BlockStack, params, key: jax.Array, x: jax.Array, *,
+    stack, params, key: jax.Array, x: jax.Array, *,
     pp: int, n_microbatches: int, axis: str = "pp",
 ):
-    """Run the block stack as a ``pp``-stage pipeline INSIDE ``shard_map``.
+    """Run a block stack as a ``pp``-stage pipeline INSIDE ``shard_map``.
 
-    ``params`` leaves are the LOCAL depth shard ``(L/pp, ...)``; ``x`` is the
-    full ``(B, d)`` batch (replicated — stage 0 reads it, other stages'
-    reads are dead code the scheduler overlaps). Returns ``(out, log_q,
-    log_p)`` with ``out`` valid on every device (the last stage's results
-    are broadcast with a psum-mask so the loss can be computed uniformly)
-    and the KL scalars already psum-reduced over ``pp``.
+    ``stack`` is any object with ``block_apply(leaf, key, global_idx, h)``
+    and ``dummy_input()`` (``BlockStack`` here, ``TransformerStack`` in
+    ``parallel/transformer.py``). ``params`` leaves are the LOCAL depth
+    shard ``(L/pp, ...)``; ``x`` is the full ``(B, *rest)`` batch
+    (replicated — stage 0 reads it, other stages' reads are dead code the
+    scheduler overlaps); microbatching splits the leading axis. Returns
+    ``(out, log_q, log_p)`` with ``out`` valid on every device (the last
+    stage's results are broadcast with a psum-mask so the loss can be
+    computed uniformly) and the KL scalars already psum-reduced over
+    ``pp``.
     """
     stage = jax.lax.axis_index(axis)
-    n_local = params["mu"].shape[0]
-    B, d = x.shape
+    n_local = jax.tree.leaves(params)[0].shape[0]
+    B, *rest = x.shape
     if B % n_microbatches:
         raise ValueError(f"batch {B} % microbatches {n_microbatches} != 0")
     mb = B // n_microbatches
-    xs = x.reshape(n_microbatches, mb, d)
+    xs = x.reshape(n_microbatches, mb, *rest)
     n_ticks = n_microbatches + pp - 1
     perm = [(i, (i + 1) % pp) for i in range(pp)]
 
@@ -174,9 +182,9 @@ def pipeline_apply(
         state = jax.lax.ppermute(h, axis, perm)
         return (state, outputs), None
 
-    outputs0 = jnp.zeros((n_microbatches, mb, d), x.dtype)
+    outputs0 = jnp.zeros((n_microbatches, mb, *rest), x.dtype)
     (_, outputs), _ = jax.lax.scan(
-        tick, (jnp.zeros((mb, d), x.dtype), outputs0), jnp.arange(n_ticks)
+        tick, (jnp.zeros((mb, *rest), x.dtype), outputs0), jnp.arange(n_ticks)
     )
     # broadcast the last stage's outputs to every device (mask + psum via
     # the custom-VJP g collective: identity backward hands every stage the
@@ -192,10 +200,10 @@ def pipeline_apply(
         g_idx = stage * n_local + l
         # run on a zero activation only to reuse block_apply's eps/log-prob
         # math? No: compute directly — sampling identities are exposed by
-        # bayes_linear's logprob outputs only alongside a matmul. A (1, d)
-        # zero input costs one tiny matmul per block and guarantees the
-        # SAME eps stream as the forward ticks.
-        _, lq, lp = stack.block_apply(leaf, key, g_idx, jnp.zeros((1, d)))
+        # bayes_linear's logprob outputs only alongside a matmul. A minimal
+        # zero input (stack.dummy_input()) costs one tiny matmul per block
+        # and guarantees the SAME eps stream as the forward ticks.
+        _, lq, lp = stack.block_apply(leaf, key, g_idx, stack.dummy_input())
         return 0.0, (lq, lp)
 
     _, (lqs, lps) = jax.lax.scan(
@@ -203,7 +211,7 @@ def pipeline_apply(
     )
     log_q = coll.reduce_from_shards(jnp.sum(lqs), axis)
     log_p = coll.reduce_from_shards(jnp.sum(lps), axis)
-    return outputs.reshape(B, d), log_q, log_p
+    return outputs.reshape(B, *rest), log_q, log_p
 
 
 def make_pp_train_step(
@@ -223,7 +231,6 @@ def make_pp_train_step(
     from jax.sharding import PartitionSpec as P
 
     pp = dict(mesh.shape)["pp"]
-    pspecs = stack_specs()
 
     def local_step(params, opt_state, key, batch):
         def loss(params):
@@ -253,6 +260,8 @@ def make_pp_train_step(
 
     @jax.jit
     def step(params, opt_state, key, batch):
+        # every stack leaf is depth-stacked (L, ...): shard them all on pp
+        pspecs = jax.tree.map(lambda _: P("pp"), params)
         # optimizer-state leaves mirroring a params leaf carry its depth
         # axis (adam/sgd moments are (L/pp, ...) like the leaf); scalar
         # state (step counts) replicates. ndim>=2 is exactly "mirrors a

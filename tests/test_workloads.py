@@ -287,6 +287,51 @@ def test_stack_lm_ep_workload(tmp_path):
     assert last["acc"] > 0.7
 
 
+def test_stack_lm_transformer_pp_workload(tmp_path):
+    """--arch transformer --pp 2: the depth-stacked Bayesian transformer LM
+    trains as a 2-stage pipeline from the workload CLI; the repeated-half
+    copy task's predictable positions rise above chance (1/V)."""
+    import argparse
+    import json
+
+    from bayeformers_tpu.workloads import stack_lm
+
+    args = argparse.Namespace(
+        arch="transformer", pp=2, ep=1, blocks=2, experts=0, features=16,
+        heads=2, ffn=32, seq_len=8, vocab=17, microbatches=2, steps=120,
+        samples=1, batch_size=32, n_examples=256, lr=3e-3, eval_every=20,
+        seed=0, logs=str(tmp_path / "logs"),
+    )
+    last = stack_lm.run(args)
+    assert last["mode"] == "pp" and last["arch"] == "transformer"
+    assert np.isfinite(last["loss"])
+    assert last["copy_acc"] > 0.3  # chance ~ 0.06
+    lines = [
+        json.loads(l)
+        for l in (tmp_path / "logs" / "stack_lm.jsonl").read_text().splitlines()
+    ]
+    assert lines[-1]["loss"] < lines[0]["loss"]
+
+
+def test_stack_lm_transformer_ep_workload(tmp_path):
+    """--arch transformer --ep 2: MoE-FFN transformer LM with the expert
+    axis sharded over 2 devices, drivable from the workload CLI."""
+    import argparse
+
+    from bayeformers_tpu.workloads import stack_lm
+
+    args = argparse.Namespace(
+        arch="transformer", pp=1, ep=2, blocks=2, experts=4, features=16,
+        heads=2, ffn=32, seq_len=8, vocab=17, microbatches=1, steps=60,
+        samples=1, batch_size=32, n_examples=256, lr=3e-3, eval_every=20,
+        seed=0, logs=str(tmp_path / "logs"),
+    )
+    last = stack_lm.run(args)
+    assert last["mode"] == "ep" and last["arch"] == "transformer"
+    assert np.isfinite(last["loss"])
+    assert last["copy_acc"] > 0.15  # chance ~ 0.06; 60 steps is early
+
+
 @pytest.mark.slow
 def test_llama_lm_unigram_corpus_tiny(tmp_path):
     """The LLaMA-family causal-LM workload on a REAL text corpus through
