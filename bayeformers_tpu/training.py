@@ -241,6 +241,13 @@ def adamw_with_decay_groups(
     (`examples/bert_glue.py:104-105`, SURVEY.md Q6) so everything lands in
     one group; here the grouping actually works. ``mask_no_decay(path) ->
     bool`` marks parameters that skip decay.
+
+    ``weight_decay`` rides ``optax.inject_hyperparams``: it lives in the
+    optimizer STATE (a runtime scalar), not in the compiled HLO, so a
+    hypersearch over weight_decay reuses one jitted train step for every
+    trial (`set_weight_decay`) instead of paying a full model recompile
+    per trial — the reference's 10-trial random search
+    (`examples/hypersearch.py:42-58`) at TPU-sane compile cost.
     """
     def decay_mask(tree):
         from flax.traverse_util import flatten_dict, unflatten_dict
@@ -262,9 +269,26 @@ def adamw_with_decay_groups(
     if clip_norm is not None:
         chain.append(optax.clip_by_global_norm(clip_norm))
     chain.append(
-        optax.adamw(lr, eps=eps, weight_decay=weight_decay, mask=decay_mask)
+        optax.inject_hyperparams(optax.adamw, static_args=("mask",))(
+            learning_rate=lr, eps=eps, weight_decay=weight_decay,
+            mask=decay_mask,
+        )
     )
     return optax.chain(*chain)
+
+
+def set_weight_decay(opt_state, weight_decay: float):
+    """New optimizer state with the injected ``weight_decay`` replaced.
+
+    Works through any wrapper nesting (``chain``/``masked``): finds the
+    ``InjectHyperparamsState`` entry by hyperparameter name. Value-only —
+    the state STRUCTURE (and therefore every compiled step using it) is
+    unchanged."""
+    import optax.tree_utils as otu
+
+    return otu.tree_set(
+        opt_state, weight_decay=jnp.asarray(weight_decay, jnp.float32)
+    )
 
 
 def default_no_decay(path: str) -> bool:

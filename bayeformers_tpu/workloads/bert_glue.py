@@ -178,10 +178,24 @@ def train(
     mc_chunk: int | None = None,
     independent_draws: bool = False,
     warmup: float = 0.0,
+    _shared: dict | None = None,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
     writer = MetricsWriter(logs, name)
     dumper = Dumper(os.path.join(logs, name + ".results"))
+
+    # One-compile hypersearch (VERDICT r4 #4): trials vary only delta (an
+    # INIT-time value — same program) and weight_decay (injected into the
+    # optimizer STATE, `training.adamw_with_decay_groups`), so every jitted
+    # step, the model bundle, and the dataset can be built once and reused
+    # across the search's train() calls. The driver passes one dict for the
+    # whole search; a solo train() keeps a private dict (no sharing).
+    cache = _shared if _shared is not None else {}
+
+    def memo(key, builder):
+        if key not in cache:
+            cache[key] = builder()
+        return cache[key]
 
     # Task-driven head + loss: the reference's `GlueDataset` accepts every
     # task generically (`examples/bert_glue.py:98-102`); here label count,
@@ -198,15 +212,15 @@ def train(
         training.regression_loss if regression else training.classification_loss
     )
 
-    bundle = bert_lib.build_model(
+    bundle = memo("bundle", lambda: bert_lib.build_model(
         model_name, task="classification", n_labels=spec.n_labels,
         pretrained=pretrained, size=size, seed=seed,
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
-    )
-    train_data, dev_data, synthetic = load_glue(
+    ))
+    train_data, dev_data, synthetic = memo("data", lambda: load_glue(
         data, bundle.config.vocab_size, seed, task=task, vocab=vocab,
         n_labels=spec.n_labels, regression=regression,
-    )
+    ))
     if synthetic:
         print("[bert_glue] no dataset found; using synthetic stand-in")
     n_batches = len(train_data["labels"]) // batch_size
@@ -264,36 +278,44 @@ def train(
         )
 
     schedule = make_schedule(lr, total_steps)
-    tx = training.adamw_with_decay_groups(
-        schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
-        clip_norm=CLIP_NORM,
-    )
-    opt_state = tx.init(params)
 
     def frequentist_nll(logits, labels):
         if regression:
             return jnp.sum((logits[..., 0].astype(jnp.float32) - labels) ** 2)
         return bf.elbo.cross_entropy_sum(logits, labels)
 
-    @jax.jit
-    def f_step(params, opt_state, batch):
-        def objective(p):
-            logits = bundle.apply_fn(p, **{k: batch[k] for k in input_keys})
-            return frequentist_nll(logits, batch["labels"])
-        loss, grads = jax.value_and_grad(objective)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    @jax.jit
-    def f_eval(params, batch):
-        logits = bundle.apply_fn(params, **{k: batch[k] for k in input_keys})
-        nll = frequentist_nll(logits, batch["labels"])
-        preds = (
-            logits[..., 0].astype(jnp.float32)
-            if regression
-            else jnp.argmax(logits, -1)
+    def _build_phase_a():
+        tx = training.adamw_with_decay_groups(
+            schedule, weight_decay, training.default_no_decay,
+            eps=ADAM_EPSILON, clip_norm=CLIP_NORM,
         )
-        return nll, preds
+
+        @jax.jit
+        def f_step(params, opt_state, batch):
+            def objective(p):
+                logits = bundle.apply_fn(p, **{k: batch[k] for k in input_keys})
+                return frequentist_nll(logits, batch["labels"])
+            loss, grads = jax.value_and_grad(objective)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @jax.jit
+        def f_eval(params, batch):
+            logits = bundle.apply_fn(params, **{k: batch[k] for k in input_keys})
+            nll = frequentist_nll(logits, batch["labels"])
+            preds = (
+                logits[..., 0].astype(jnp.float32)
+                if regression
+                else jnp.argmax(logits, -1)
+            )
+            return nll, preds
+
+        return tx, f_step, f_eval
+
+    tx, f_step, f_eval = memo("phase_a", _build_phase_a)
+    # per-trial values into the SHARED program: fresh opt state, this
+    # trial's weight_decay written into the injected hyperparams
+    opt_state = training.set_weight_decay(tx.init(params), weight_decay)
 
     def eval_frequentist(params):
         report = Report("nll", "n")
@@ -350,10 +372,10 @@ def train(
             start_epoch = int(step_n)
             print(f"[bert_glue] resumed from {save_dir} step {step_n}")
 
-    eval_step = training.make_elbo_eval_step(
+    eval_step = memo("eval_step", lambda: training.make_elbo_eval_step(
         bmodel, samples, loss_fn=loss_fn, fused=fused, input_keys=input_keys,
         estimator=estimator,
-    )
+    ))
     # per-example metric keys from loss_fn (acc/acc_std or mse/mse_std)
     sample_keys = ("mse", "mse_std") if regression else ("acc", "acc_std")
 
@@ -414,29 +436,35 @@ def train(
     # ---------------- Phase D: Bayesian ELBO fine-tune ---------------------
     b_total = max(1, n_batches * b_epochs)
     b_schedule = make_schedule(lr, b_total)
-    base_tx = training.adamw_with_decay_groups(
-        b_schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
-        # with Megatron-sharded weights an in-tx clip would compute a LOCAL
-        # norm per device; the trainer clips sharded-aware instead
-        clip_norm=None if tp_fused else CLIP_NORM,
-    )
-    btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
-    b_opt_state = btx.init(bparams)
-    if mesh is not None and use_shard_map:
-        # Pallas kernels are opaque to the GSPMD partitioner; shard_map runs
-        # the single-device fused/flipout step per dp shard with an explicit
-        # psum (and Megatron f/g collectives over tp when tp > 1)
-        b_step = parallel_lib.make_train_step(
-            bmodel, btx, samples, n_batches, mesh, loss_fn=loss_fn,
-            fused=fused, input_keys=input_keys, estimator=estimator,
-            mc_chunk=mc_chunk, independent_draws=independent_draws,
-            clip_norm=CLIP_NORM if tp_fused else None,
+
+    def _build_phase_d():
+        base_tx = training.adamw_with_decay_groups(
+            b_schedule, weight_decay, training.default_no_decay,
+            eps=ADAM_EPSILON,
+            # with Megatron-sharded weights an in-tx clip would compute a
+            # LOCAL norm per device; the trainer clips sharded-aware instead
+            clip_norm=None if tp_fused else CLIP_NORM,
         )
-    else:
-        b_step = training.make_elbo_train_step(
-            bmodel, btx, samples, n_batches, loss_fn=loss_fn, fused=fused,
-            input_keys=input_keys, estimator=estimator, mc_chunk=mc_chunk,
-        )
+        btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
+        if mesh is not None and use_shard_map:
+            # Pallas kernels are opaque to the GSPMD partitioner; shard_map
+            # runs the single-device fused/flipout step per dp shard with an
+            # explicit psum (and Megatron f/g collectives over tp when tp>1)
+            b_step = parallel_lib.make_train_step(
+                bmodel, btx, samples, n_batches, mesh, loss_fn=loss_fn,
+                fused=fused, input_keys=input_keys, estimator=estimator,
+                mc_chunk=mc_chunk, independent_draws=independent_draws,
+                clip_norm=CLIP_NORM if tp_fused else None,
+            )
+        else:
+            b_step = training.make_elbo_train_step(
+                bmodel, btx, samples, n_batches, loss_fn=loss_fn, fused=fused,
+                input_keys=input_keys, estimator=estimator, mc_chunk=mc_chunk,
+            )
+        return btx, b_step
+
+    btx, b_step = memo("phase_d", _build_phase_d)
+    b_opt_state = training.set_weight_decay(btx.init(bparams), weight_decay)
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -564,7 +592,10 @@ def main():
         hs = HyperSearch(seed=args.seed)
         hs["delta"] = (1e-2, 1e-1), HyperSearch.LOG_SCALE
         hs["weight_decay"] = (0.0, 1e-3), HyperSearch.LINEAR_SCALE
-        best = hs.search(train, iterations=args.hypersearch, **kwargs)
+        # one _shared dict across trials: every jitted step compiles once
+        # (delta is init-only, weight_decay is optimizer state)
+        best = hs.search(train, iterations=args.hypersearch, _shared={},
+                         **kwargs)
         print(f"best acc={best.value:.4f} with {best.hyperparameters}")
     else:
         score = train(delta=args.delta, weight_decay=args.weight_decay, **kwargs)

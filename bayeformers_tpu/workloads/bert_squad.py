@@ -183,6 +183,7 @@ def train(
     estimator: str | None = None,
     mc_chunk: int | None = None,
     independent_draws: bool = False,
+    _shared: dict | None = None,
 ) -> float:
     name = run_name(exp, delta=round(delta, 5), weight_decay=round(weight_decay, 6))
     # antithetic is the default for even S (lower variance, half the noise
@@ -193,19 +194,32 @@ def train(
     writer = MetricsWriter(logs, name)
     dumper = Dumper(os.path.join(logs, name + ".results"))
 
-    bundle = bert_lib.build_model(
+    # One-compile hypersearch (VERDICT r4 #4, same design as bert_glue):
+    # trials vary only delta (init-only) and weight_decay (injected into
+    # the optimizer state), so the bundle, dataset, and every jitted step
+    # are built once per search via the driver-provided _shared dict.
+    cache = _shared if _shared is not None else {}
+
+    def memo(key, builder):
+        if key not in cache:
+            cache[key] = builder()
+        return cache[key]
+
+    bundle = memo("bundle", lambda: bert_lib.build_model(
         model, task="qa", pretrained=pretrained, size=size, seed=seed,
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
         **({} if size == "base" else {"max_position_embeddings": max_seq + 8}),
-    )
+    ))
     # model-family input pruning (reference `bert_squad.py:184-185`):
     # distilbert/roberta-family models take no token_type_ids
     input_keys = (
         INPUT_KEYS if bundle.uses_token_type_ids
         else ("input_ids", "attention_mask")
     )
-    train_data, dev_data, dev_feats, dev_examples, synthetic = load_squad(
-        data_dir, tokenizer, bundle.config.vocab_size, max_seq, seed
+    train_data, dev_data, dev_feats, dev_examples, synthetic = memo(
+        "data", lambda: load_squad(
+            data_dir, tokenizer, bundle.config.vocab_size, max_seq, seed
+        )
     )
     if synthetic:
         print("[bert_squad] no dataset/tokenizer found; synthetic stand-in")
@@ -243,25 +257,33 @@ def train(
     # ---------------- Phase A: frequentist fine-tune -----------------------
     params = bundle.params
     schedule = optax.linear_schedule(lr, 0.0, max(1, n_batches * epochs))
-    tx = training.adamw_with_decay_groups(
-        schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
-        clip_norm=CLIP_NORM,
-    )
-    opt_state = tx.init(params)
 
-    @jax.jit
-    def f_step(params, opt_state, batch):
-        def loss_fn(p):
-            start_logits, end_logits = qa_apply(
-                p, **{k: batch[k] for k in input_keys}
-            )
-            return 0.5 * (
-                bf.elbo.cross_entropy_sum(start_logits, batch["start_positions"])
-                + bf.elbo.cross_entropy_sum(end_logits, batch["end_positions"])
-            )
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    def _build_phase_a():
+        tx = training.adamw_with_decay_groups(
+            schedule, weight_decay, training.default_no_decay,
+            eps=ADAM_EPSILON, clip_norm=CLIP_NORM,
+        )
+
+        @jax.jit
+        def f_step(params, opt_state, batch):
+            def loss_fn(p):
+                start_logits, end_logits = qa_apply(
+                    p, **{k: batch[k] for k in input_keys}
+                )
+                return 0.5 * (
+                    bf.elbo.cross_entropy_sum(start_logits,
+                                              batch["start_positions"])
+                    + bf.elbo.cross_entropy_sum(end_logits,
+                                                batch["end_positions"])
+                )
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return tx, f_step
+
+    tx, f_step = memo("phase_a", _build_phase_a)
+    opt_state = training.set_weight_decay(tx.init(params), weight_decay)
 
     with dumper.section("frequentist"):
         for epoch in range(epochs):
@@ -296,10 +318,10 @@ def train(
             start_epoch = int(step_n)
             print(f"[bert_squad] resumed from {save_dir} step {step_n}")
 
-    eval_step = training.make_elbo_eval_step(
+    eval_step = memo("eval_step", lambda: training.make_elbo_eval_step(
         bmodel, samples, loss_fn=training.qa_span_loss, fused=fused,
         input_keys=input_keys, estimator=estimator,
-    )
+    ))
 
     def decode_and_score(get_logits):
         """EM/F1 over the real dev set: best-scoring window per question
@@ -386,27 +408,33 @@ def train(
         print(f"[baye eval] {metrics}")
 
     b_schedule = optax.linear_schedule(lr, 0.0, max(1, n_batches * b_epochs))
-    base_tx = training.adamw_with_decay_groups(
-        b_schedule, weight_decay, training.default_no_decay, eps=ADAM_EPSILON,
-        # the trainer clips sharded-aware when weights are Megatron-sharded
-        clip_norm=None if tp_fused else CLIP_NORM,
-    )
-    btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
-    b_opt_state = btx.init(bparams)
-    if mesh is not None and fused:
-        b_step = parallel_lib.make_train_step(
-            bmodel, btx, samples, n_batches, mesh,
-            loss_fn=training.qa_span_loss, fused=True, input_keys=input_keys,
-            estimator=estimator, mc_chunk=mc_chunk,
-            independent_draws=independent_draws,
-            clip_norm=CLIP_NORM if tp_fused else None,
+
+    def _build_phase_d():
+        base_tx = training.adamw_with_decay_groups(
+            b_schedule, weight_decay, training.default_no_decay,
+            eps=ADAM_EPSILON,
+            # the trainer clips sharded-aware when weights are Megatron-sharded
+            clip_norm=None if tp_fused else CLIP_NORM,
         )
-    else:
-        b_step = training.make_elbo_train_step(
-            bmodel, btx, samples, n_batches, loss_fn=training.qa_span_loss,
-            fused=fused, input_keys=input_keys, estimator=estimator,
-            mc_chunk=mc_chunk,
-        )
+        btx = masked_optimizer(base_tx, bmodel.trainable_mask(bparams))
+        if mesh is not None and fused:
+            b_step = parallel_lib.make_train_step(
+                bmodel, btx, samples, n_batches, mesh,
+                loss_fn=training.qa_span_loss, fused=True,
+                input_keys=input_keys, estimator=estimator, mc_chunk=mc_chunk,
+                independent_draws=independent_draws,
+                clip_norm=CLIP_NORM if tp_fused else None,
+            )
+        else:
+            b_step = training.make_elbo_train_step(
+                bmodel, btx, samples, n_batches,
+                loss_fn=training.qa_span_loss, fused=fused,
+                input_keys=input_keys, estimator=estimator, mc_chunk=mc_chunk,
+            )
+        return btx, b_step
+
+    btx, b_step = memo("phase_d", _build_phase_d)
+    b_opt_state = training.set_weight_decay(btx.init(bparams), weight_decay)
 
     with dumper.section("bayesian_train"):
         for epoch in range(start_epoch, b_epochs):
@@ -515,7 +543,10 @@ def main():
         hs = HyperSearch(seed=args.seed)
         hs["delta"] = (1e-2, 1e-1), HyperSearch.LOG_SCALE
         hs["weight_decay"] = (0.0, 1e-3), HyperSearch.LINEAR_SCALE
-        best = hs.search(train, iterations=args.hypersearch, **kwargs)
+        # one _shared dict across trials: every jitted step compiles once
+        # (delta is init-only, weight_decay is optimizer state)
+        best = hs.search(train, iterations=args.hypersearch, _shared={},
+                         **kwargs)
         print(f"best score={best.value:.4f} with {best.hyperparameters}")
     else:
         score = train(delta=args.delta, weight_decay=args.weight_decay, **kwargs)

@@ -9,13 +9,35 @@ Prints ONE JSON line:
               S-sample loop of `examples/bert_glue.py:56-73`), measured at
               BOTH f32 and bf16 activations and taking the faster one.
 
-Measurement (this runtime has two traps, both previously hit — see PERF.md):
+Measurement (this runtime has three traps, all previously hit — PERF.md):
 every timed region is a `lax.scan` of NSCAN full steps inside ONE jit, so
-per-dispatch overhead (~28 ms on this tunneled runtime — large enough to
-have dominated round-1's per-dispatch micro numbers) is amortized to <2%;
-state (params, opt state, key) chains through the scan so no two steps are
-identical and none can be deduplicated; the sync point is the final step's
-scalar loss. Times are reported as min and median over N_OUTER scan runs.
+per-dispatch overhead (~28 ms on this tunneled runtime) is amortized to
+<2%; a per-call iteration scalar is folded into every step's PRNG key so no
+two dispatches are identical (the axon runtime dedups identical-buffer
+dispatches to impossibly-fast times); and the probe scalar depends on the
+last loss AND every final state leaf, so no step's optimizer update can be
+dead-code-eliminated (block_until_ready can return early here — the sync
+is always a host read of the probe).
+
+Round-5 architecture (VERDICT r4 #1: the perf story beyond three bf16 legs
+was never driver-captured in four rounds — stage cost was dominated by
+Python tracing + MLIR lowering, ~80-100 s/program, which the persistent
+XLA cache cannot skip, and one mid-run chip RESOURCE_EXHAUSTED errored
+every remaining stage):
+  * every training leg is a pre-serialized `jax.export` program
+    (bench_exports/<leg>.jaxexport, ~1 MB each, committed): a fresh process
+    deserializes in ~0.1 s, synthesizes zero-valued args straight from the
+    exported avals (TPU op timing is value-independent), and compiles
+    against the persistent cache — measured warm: ~30 s/leg vs ~150-230 s
+    for build+trace+lower+compile. `make bench-warm` (re)generates blobs
+    from the exact same step-builder code the inline fallback uses, so a
+    missing/stale blob degrades to the slow path, never to a wrong number.
+  * extras run in SUBPROCESSES (`python bench.py --stage <group>`), one
+    JSON line each: a chip hiccup kills one stage group, not the run
+    (r4's `logs/bench_r4_warm_all2.log` cascade errored 8 stages).
+  * compile-cache telemetry (hits/misses/requests, retrieval and compile
+    seconds, cache-dir size) is recorded per stage group and aggregated,
+    so the artifact shows WHY a slow run was slow.
 
 Config mirrors the reference GLUE recipe: S=10 MC samples, batch 8, seq 128,
 AdamW lr=2e-5, MOPED delta=0.05 freeze=True (`examples/bert_glue.py:77-87`).
@@ -26,31 +48,81 @@ import json
 import os
 import signal
 import statistics
+import subprocess
 import sys
 import time
 
 import jax
 
-# Persistent compilation cache (round-4 hardening): compile cost over the
-# tunnel is the entire bench-timeout risk (BENCH_r03 rc=124 was ~13 stages
-# x 4-5 min/compile on a slow day). The cache is keyed on HLO + flags +
-# jaxlib version, so a bench run warmed in an earlier session makes the
-# driver's end-of-round run near-compile-free (verified cross-process on
-# the axon backend: 1.65 s -> 0.28 s). Opt out: BAYEFORMERS_NO_COMPILE_CACHE.
-if not os.environ.get("BAYEFORMERS_NO_COMPILE_CACHE"):
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-import jax.numpy as jnp
-import numpy as np
-import optax
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
-import bayeformers_tpu as bf
-from bayeformers_tpu.models import bert as bert_lib
-from bayeformers_tpu.ops import fused_linear as ops_fused
-from bayeformers_tpu.utils.optim import masked_optimizer
+# Persistent compilation cache: compile cost over the tunnel is the entire
+# bench-timeout risk (BENCH_r03 rc=124). Keyed on HLO + flags + jaxlib
+# version; verified cross-process on the axon backend.
+if not os.environ.get("BAYEFORMERS_NO_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# ---- compile/cache telemetry (VERDICT r4 weak #1: "bench.py records no
+# cache hit/miss telemetry, so the artifact can't even show why") ----------
+_TELE = {"cache_hits": 0, "cache_misses": 0, "compile_requests": 0}
+_TELE_S = {}
+
+
+def _on_event(name, **kw):
+    short = {
+        "/jax/compilation_cache/cache_hits": "cache_hits",
+        "/jax/compilation_cache/cache_misses": "cache_misses",
+        "/jax/compilation_cache/compile_requests_use_cache":
+            "compile_requests",
+    }.get(name)
+    if short:
+        _TELE[short] += 1
+
+
+def _on_duration(name, secs, **kw):
+    short = {
+        "/jax/core/compile/jaxpr_trace_duration": "trace_s",
+        "/jax/core/compile/jaxpr_to_mlir_module_duration": "lower_s",
+        "/jax/core/compile/backend_compile_duration": "backend_compile_s",
+        "/jax/compilation_cache/cache_retrieval_time_sec": "cache_retrieval_s",
+        "/jax/compilation_cache/compile_time_saved_sec": "compile_saved_s",
+    }.get(name)
+    if short:
+        _TELE_S[short] = _TELE_S.get(short, 0.0) + secs
+
+
+jax.monitoring.register_event_listener(_on_event)
+jax.monitoring.register_event_duration_secs_listener(_on_duration)
+
+
+def _cache_dir_stats():
+    d = os.path.join(_REPO, ".jax_cache")
+    try:
+        names = [n for n in os.listdir(d) if n.endswith("-cache")]
+        mb = sum(os.path.getsize(os.path.join(d, n)) for n in names) / 1e6
+        return {"entries": len(names), "mb": round(mb, 1)}
+    except OSError:
+        return {"entries": 0, "mb": 0.0}
+
+
+def telemetry_snapshot():
+    return {
+        **_TELE,
+        **{k: round(v, 1) for k, v in _TELE_S.items()},
+        "cache_dir": _cache_dir_stats(),
+    }
+
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+import bayeformers_tpu as bf  # noqa: E402
+from bayeformers_tpu.models import bert as bert_lib  # noqa: E402
+from bayeformers_tpu.ops import fused_linear as ops_fused  # noqa: E402
+from bayeformers_tpu.utils.optim import masked_optimizer  # noqa: E402
 
 S, B, L = 10, 8, 128
 NSCAN, N_OUTER = 10, 4
@@ -59,18 +131,15 @@ NSCAN, N_OUTER = 10, 4
 # otherwise dominates after subtraction and produced nonsense ratios once
 MICRO_NSCAN, MICRO_OUTER = 400, 4
 
-# --- wall-clock budget (round-4 fix: BENCH_r03 timed out, rc=124) ---------
-# The driver runs `python bench.py` under a hard timeout; round 3 grew to
-# ~13 jit-compiled configs and never printed its JSON. Compile cost over
-# the tunnel is VOLATILE (20-40 s/program on a good day, 4-5 MINUTES when
-# the tunnel is slow — measured 2026-08-19), so the REQUIRED tier is only
-# the 3 compiles the headline metric needs (antithetic, fused, naive bf16:
-# value + vs_baseline); EVERYTHING else (f32 pair, floor, micro ratio,
-# SQuAD, GPT-2, serving, local/flipout) runs only if the remaining budget
-# covers that stage's worst-case cost, and skipped stages are named in
-# extra["skipped"]. Budget via BAYEFORMERS_BENCH_BUDGET_S; worst-case
-# total ~= required (3 compiles) + budget.
-BUDGET_S = float(os.environ.get("BAYEFORMERS_BENCH_BUDGET_S", "420"))
+EXPORT_DIR = os.path.join(_REPO, "bench_exports")
+
+# --- wall-clock budget ----------------------------------------------------
+# The driver runs `python bench.py` under a hard timeout somewhere above
+# ~790 s (BENCH_r04 recorded rc=0 at 761 s elapsed; BENCH_r03 rc=124).
+# Extras stop LAUNCHING when the remaining budget is below their estimate;
+# each extra subprocess also carries its own kill timeout, so the worst
+# case is budget + one stage estimate, inside the hard cap below.
+BUDGET_S = float(os.environ.get("BAYEFORMERS_BENCH_BUDGET_S", "660"))
 _T0 = time.monotonic()
 
 
@@ -78,15 +147,11 @@ def _budget_left() -> float:
     return BUDGET_S - (time.monotonic() - _T0)
 
 
-# --- hard wall-clock cap (round-4 hardening, second layer) ----------------
+# --- hard wall-clock cap (second layer) ------------------------------------
 # If the process is still alive at HARD_S, emit the best result assembled so
 # far and exit 0 instead of letting the driver's outer `timeout` kill us
-# with nothing on stdout (the BENCH_r03 rc=124 failure mode). Python only
-# delivers SIGALRM between bytecodes, so an in-flight native XLA compile
-# finishes first — the true worst case is HARD_S + one compile, still far
-# inside the ~20 min the driver demonstrably allows (BENCH_r02 passed with
-# a full ~13-stage run).
-HARD_S = float(os.environ.get("BAYEFORMERS_BENCH_HARD_S", "840"))
+# with nothing on stdout (the BENCH_r03 rc=124 failure mode).
+HARD_S = float(os.environ.get("BAYEFORMERS_BENCH_HARD_S", "780"))
 _PROVISIONAL = None
 
 
@@ -99,6 +164,7 @@ def _emit_best_and_exit(signum=None, frame=None):
         "extra": {
             "error": f"hard cap {HARD_S}s hit before any stage completed",
             "bench_elapsed_s": round(time.monotonic() - _T0, 1),
+            "compile_cache": telemetry_snapshot(),
         },
     }
     print(json.dumps(out), flush=True)
@@ -112,26 +178,33 @@ def dispatch_floor() -> float:
     """Fixed per-jit-dispatch latency of this runtime (measured ~28 ms on
     the tunneled axon setup — an environment cost, not framework work).
     Measured once via an empty scan; subtracted per-iteration from every
-    reported time so numbers reflect device execution."""
+    reported time so numbers reflect device execution. The parent process
+    shares its measurement with stage subprocesses via BAYEFORMERS_FLOOR_S
+    (the floor is a property of the tunnel, not of the program)."""
     global _DISPATCH_FLOOR
     if _DISPATCH_FLOOR is None:
+        env = os.environ.get("BAYEFORMERS_FLOOR_S")
+        if env:
+            _DISPATCH_FLOOR = float(env)
+            return _DISPATCH_FLOOR
         import statistics as _st
 
         @jax.jit
-        def empty(x):
+        def empty(x, it):
             def body(c, i):
                 return (c[0], c[1] + 0.0 * i), None
-            (x, acc), _ = jax.lax.scan(body, (x, jnp.float32(0.0)),
-                                       jnp.arange(4))
+            (x, acc), _ = jax.lax.scan(
+                body, (x, 0.0 * it.astype(jnp.float32)), jnp.arange(4)
+            )
             return x, acc
 
         x = jnp.zeros((8, 128), jnp.float32)
-        x, acc = empty(x)
+        x, acc = empty(x, jnp.int32(0))
         float(acc)
         times = []
-        for _ in range(6):
+        for i in range(6):
             t0 = time.perf_counter()
-            x, acc = empty(x)
+            x, acc = empty(x, jnp.int32(i + 1))
             float(acc)
             times.append(time.perf_counter() - t0)
         _DISPATCH_FLOOR = _st.median(times)
@@ -141,7 +214,8 @@ def dispatch_floor() -> float:
 def timeit_scan(step_fn, state, nscan=NSCAN, n_outer=N_OUTER):
     """Per-iteration seconds (min, median) of ``state = step_fn(state, i)``
     scanned ``nscan`` times inside one jit, minus the per-dispatch floor;
-    syncs on a scalar probe."""
+    syncs on a scalar probe. State chains across outer runs (the original
+    dedup guard; kept for the probe/microbench importers)."""
 
     @jax.jit
     def run(state):
@@ -167,6 +241,61 @@ def timeit_scan(step_fn, state, nscan=NSCAN, n_outer=N_OUTER):
     return min(times), statistics.median(times)
 
 
+def timeit_calls(call, args, nscan, n_outer=N_OUTER):
+    """Per-iteration seconds (min, median) of ``probe = call(args, it)``
+    where the compiled program scans ``nscan`` steps internally. ``it``
+    varies per dispatch (dedup guard with ONE executable — chaining state
+    across calls would flip output→input layouts and force a second
+    compile). Syncs on the host read of the probe scalar."""
+    probe = call(args, jnp.int32(0))  # compile + warm
+    float(probe)
+    floor = dispatch_floor()
+    times = []
+    for i in range(n_outer):
+        t0 = time.perf_counter()
+        probe = call(args, jnp.int32(i + 1))
+        float(probe)
+        times.append(max(time.perf_counter() - t0 - floor, 1e-9) / nscan)
+    return min(times), statistics.median(times)
+
+
+# ---------------------------------------------------------------------------
+# Program builders: each bench leg as an exportable (flat_args, it) program
+# ---------------------------------------------------------------------------
+
+def _leaf_anchor(tree):
+    """Tiny f32 scalar depending on EVERY leaf of ``tree``: scaled into the
+    probe so no final-state update is dead-code-eliminable, at ~one extra
+    HBM read of the state per NSCAN-step scan (<0.1% of a step)."""
+    tot = jnp.float32(0.0)
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.number):
+            tot = tot + jnp.sum(leaf).astype(jnp.float32)
+    return tot * jnp.float32(1e-30)
+
+
+def _scan_program(step_fn, state, nscan):
+    """(run_flat, flat_args): ``run_flat(flat, it)`` scans ``nscan`` steps
+    of ``step_fn(state, i)`` with globally-unique step indices derived from
+    ``it`` and returns the dedup/DCE-guarded probe scalar."""
+    flat, treedef = jax.tree.flatten(state)
+
+    def run_flat(flat, it):
+        state = jax.tree.unflatten(treedef, flat)
+
+        def body(carry, j):
+            st, _ = carry
+            st, probe = step_fn(st, it * np.int32(nscan) + j)
+            return (st, probe), None
+
+        (state, probe), _ = jax.lax.scan(
+            body, (state, jnp.float32(0.0)), jnp.arange(nscan, dtype=jnp.int32)
+        )
+        return probe.astype(jnp.float32) + _leaf_anchor(state)
+
+    return run_flat, flat
+
+
 def build(mode_dtype):
     bundle = bert_lib.build_bert(
         task="classification", n_labels=2, size="base", dtype=mode_dtype
@@ -174,11 +303,24 @@ def build(mode_dtype):
     return bf.to_bayesian(bundle.apply_fn, bundle.params, delta=0.05, freeze=True)
 
 
-def bench_train(bmodel, bparams, inputs, labels, mode, n_samples=S):
-    tx = masked_optimizer(optax.adamw(2e-5), bmodel.trainable_mask(bparams))
-    opt_state = tx.init(bparams)
+def _glue_batch(vocab_size):
+    batch = bert_lib.synthetic_batch(
+        np.random.default_rng(0), B, L, vocab_size, 2
+    )
+    labels = batch.pop("labels")
+    return batch, labels
+
+
+def make_train_program(mode, dtype, n_samples=S):
+    """The GLUE-recipe train-step program for one estimator tier: exactly
+    the step the workloads run (fused/antithetic/naive/flipout/local
+    mc_apply*, sum-CE ELBO, masked AdamW), scanned NSCAN times."""
     import functools
 
+    bmodel, bparams = build(dtype)
+    inputs, labels = _glue_batch(30522)
+    tx = masked_optimizer(optax.adamw(2e-5), bmodel.trainable_mask(bparams))
+    opt_state = tx.init(bparams)
     mc = {
         "fused": bmodel.mc_apply_fused,
         "naive": bmodel.mc_apply,
@@ -202,17 +344,45 @@ def bench_train(bmodel, bparams, inputs, labels, mode, n_samples=S):
         updates, opt_state = tx.update(grads, opt_state, bparams)
         return (optax.apply_updates(bparams, updates), opt_state), loss
 
-    return timeit_scan(step, (bparams, opt_state))
+    return _scan_program(step, (bparams, opt_state), NSCAN) + (NSCAN,)
 
 
-def bench_squad_chunked():
+def make_floor_program():
+    """Frequentist floor: same matmul/attention/optimizer work on the S*B
+    super-batch with shared deterministic weights — the speed-of-light
+    reference."""
+    bundle = bert_lib.build_bert(
+        task="classification", n_labels=2, size="base", dtype=jnp.bfloat16
+    )
+    inputs, labels = _glue_batch(bundle.config.vocab_size)
+    tx = optax.adamw(2e-5)
+    params = bundle.params
+    opt_state = tx.init(params)
+    big_inputs = {k: jnp.concatenate([v] * S, 0) for k, v in inputs.items()}
+    big_labels = jnp.concatenate([labels] * S, 0)
+
+    def step(state, i):
+        params, opt_state = state
+
+        def loss_fn(p):
+            logits = bundle.apply_fn(p, **big_inputs)
+            return bf.elbo.cross_entropy_sum(logits, big_labels) + 0.0 * i
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    return _scan_program(step, (params, opt_state), NSCAN) + (NSCAN,)
+
+
+def make_squad_program():
     """The reference SQuAD recipe (S=10, batch 13, seq 384 —
     `examples/bert_squad.py:216-234`) through the chunked fused step
-    (``mc_chunk=2``): S-major exceeds one chip's HBM, chunked it fits.
-    Driver-recorded evidence for the full-recipe claim (VERDICT r2 #4)."""
+    (``mc_chunk=2``): S-major exceeds one chip's HBM, chunked it fits."""
     from bayeformers_tpu import training
 
     S_q, B_q, L_q = 10, 13, 384
+    nscan = 4
     bundle = bert_lib.build_bert(task="qa", size="base", dtype=jnp.bfloat16)
     bmodel, bparams = bf.to_bayesian(
         bundle.apply_fn, bundle.params, delta=0.05, freeze=True
@@ -235,16 +405,17 @@ def bench_squad_chunked():
         bparams, opt_state, m = train_step(bparams, opt_state, key, batch)
         return (bparams, opt_state), m["loss"]
 
-    return timeit_scan(step, (bparams, opt_state), nscan=4, n_outer=2)
+    return _scan_program(step, (bparams, opt_state), nscan) + (nscan,)
 
 
-def bench_gpt2():
+def make_gpt2_program():
     """GPT-2-base causal-LM MC-10 ELBO step (decoder-family extension):
     packed c_attn Conv1D interception + in-kernel causal mha, antithetic
     estimator, bf16 activations — the gpt2_lm workload's TPU recipe."""
     from bayeformers_tpu.models import gpt2 as gpt2_lib
     from bayeformers_tpu.workloads.gpt2_lm import lm_nll_sum
 
+    nscan = 4
     bundle = gpt2_lib.build_gpt2(size="base", dtype=jnp.bfloat16)
     bmodel, bparams = bf.to_bayesian(
         bundle.apply_fn, bundle.params, delta=0.05, freeze=True
@@ -272,7 +443,141 @@ def bench_gpt2():
         updates, opt_state = tx.update(grads, opt_state, bparams)
         return (optax.apply_updates(bparams, updates), opt_state), loss
 
-    return timeit_scan(step, (bparams, opt_state), nscan=4, n_outer=2)
+    return _scan_program(step, (bparams, opt_state), nscan) + (nscan,)
+
+
+# name -> (builder, builder_kwargs, n_outer)
+PROGRAMS = {
+    "antithetic_bf16": (make_train_program, ("antithetic", jnp.bfloat16), 4),
+    "fused_bf16": (make_train_program, ("fused", jnp.bfloat16), 4),
+    "naive_bf16": (make_train_program, ("naive", jnp.bfloat16), 4),
+    "frequentist_floor_bf16": (make_floor_program, (), 4),
+    "fused_f32": (make_train_program, ("fused", jnp.float32), 4),
+    "naive_f32": (make_train_program, ("naive", jnp.float32), 4),
+    "squad": (make_squad_program, (), 2),
+    "gpt2": (make_gpt2_program, (), 2),
+    "flipout_s1_bf16": (
+        lambda: make_train_program("flipout", jnp.bfloat16, n_samples=1), (), 4
+    ),
+    "local_bf16": (make_train_program, ("local", jnp.bfloat16), 4),
+    "local_s1_bf16": (
+        lambda: make_train_program("local", jnp.bfloat16, n_samples=1), (), 4
+    ),
+}
+
+
+def _export_paths(name):
+    return (os.path.join(EXPORT_DIR, f"{name}.jaxexport"),
+            os.path.join(EXPORT_DIR, f"{name}.json"))
+
+
+def _zeros_like_avals(avals):
+    """Zero-valued args straight from exported avals. TPU op timing is
+    value-independent (MXU/VPU have no data-dependent paths), so the
+    timing is identical to real MOPED-initialized params, and the ~450 MB
+    host→device transfer of a real state is skipped."""
+    return [jnp.zeros(a.shape, a.dtype) for a in avals]
+
+
+def export_program(name):
+    """Build + export one leg to bench_exports/. Returns the Exported."""
+    builder, args, _ = PROGRAMS[name]
+    run_flat, flat, nscan = builder(*args)
+    exp = jax.export.export(jax.jit(run_flat))(flat, jnp.int32(0))
+    blob = exp.serialize()
+    os.makedirs(EXPORT_DIR, exist_ok=True)
+    bpath, spath = _export_paths(name)
+    with open(bpath, "wb") as f:
+        f.write(blob)
+    with open(spath, "w") as f:
+        json.dump({"jax": jax.__version__, "nscan": nscan,
+                   "platforms": list(exp.platforms),
+                   "size_mb": round(len(blob) / 1e6, 2)}, f)
+    return exp, flat, nscan
+
+
+def load_program(name):
+    """(call, args, nscan) from a committed export blob, or None if the
+    blob is missing/stale (wrong jax version / platform / deserialization
+    failure) — caller falls back to the inline builder."""
+    bpath, spath = _export_paths(name)
+    try:
+        meta = json.load(open(spath))
+        if meta.get("jax") != jax.__version__:
+            return None
+        backend = jax.default_backend()
+        if backend not in meta.get("platforms", []):
+            return None
+        exp = jax.export.deserialize(open(bpath, "rb").read())
+        # in_avals is flat across BOTH positional args ((flat_list, it));
+        # rebuild via in_tree and keep only the state list — timeit_calls
+        # supplies the varying `it` scalar itself.
+        zeros = _zeros_like_avals(exp.in_avals)
+        (pos_args, _kwargs) = jax.tree.unflatten(exp.in_tree, zeros)
+        return (jax.jit(lambda fl, it: exp.call(fl, it)), pos_args[0],
+                int(meta["nscan"]))
+    except Exception:  # noqa: BLE001 — any staleness degrades to inline
+        return None
+
+
+def run_leg(name):
+    """Time one leg: export path if a fresh blob exists, else inline build.
+    Returns (t_min, t_median, used_export). Frees the leg's executable +
+    state afterwards — a resident bf16 tier's executables have OOMed the
+    f32 legs before (BENCH_r02 era)."""
+    _, _, n_outer = PROGRAMS[name]
+    try:
+        loaded = load_program(name)
+        if loaded is not None:
+            call, args, nscan = loaded
+            t = timeit_calls(call, args, nscan, n_outer)
+            return t[0], t[1], True
+        builder, bargs, _ = PROGRAMS[name]
+        run_flat, flat, nscan = builder(*bargs)
+        t = timeit_calls(jax.jit(run_flat), flat, nscan, n_outer)
+        return t[0], t[1], False
+    finally:
+        jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# Legacy-style helpers (kept: probes/microbenches import these)
+# ---------------------------------------------------------------------------
+
+def bench_train(bmodel, bparams, inputs, labels, mode, n_samples=S):
+    import functools
+
+    tx = masked_optimizer(optax.adamw(2e-5), bmodel.trainable_mask(bparams))
+    opt_state = tx.init(bparams)
+    mc = {
+        "fused": bmodel.mc_apply_fused,
+        "naive": bmodel.mc_apply,
+        "flipout": bmodel.mc_apply_flipout,
+        "antithetic": functools.partial(bmodel.mc_apply_fused, antithetic=True),
+        "local": bmodel.mc_apply_lrt,
+    }[mode]
+
+    def step(state, i):
+        bparams, opt_state = state
+        key = jax.random.fold_in(jax.random.key(0), i)
+
+        def loss_fn(bparams):
+            out, aux = mc(bparams, key, n_samples, **inputs)
+            nll = bf.elbo.cross_entropy_sum(bf.elbo.mc_logits_mean(out), labels)
+            return bf.elbo.elbo_loss(
+                nll, aux["log_prior"], aux["log_variational_posterior"], 100
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(bparams)
+        updates, opt_state = tx.update(grads, opt_state, bparams)
+        return (optax.apply_updates(bparams, updates), opt_state), loss
+
+    return timeit_scan(step, (bparams, opt_state))
+
+
+def bench_frequentist_floor(inputs, labels):
+    run_flat, flat, nscan = make_floor_program()
+    return timeit_calls(jax.jit(run_flat), flat, nscan)
 
 
 def bench_serving():
@@ -314,32 +619,6 @@ def _train_flops(n_layers=12, h=768, s=S, b=B, length=L) -> float:
 
 # v5e bf16 peak; override for other chips via BAYEFORMERS_PEAK_TFLOPS.
 PEAK_TFLOPS = 197.0
-
-
-def bench_frequentist_floor(inputs, labels):
-    """Same matmul/attention/optimizer work on the S*B super-batch with
-    shared deterministic weights — the speed-of-light reference."""
-    bundle = bert_lib.build_bert(
-        task="classification", n_labels=2, size="base", dtype=jnp.bfloat16
-    )
-    tx = optax.adamw(2e-5)
-    params = bundle.params
-    opt_state = tx.init(params)
-    big_inputs = {k: jnp.concatenate([v] * S, 0) for k, v in inputs.items()}
-    big_labels = jnp.concatenate([labels] * S, 0)
-
-    def step(state, i):
-        params, opt_state = state
-
-        def loss_fn(p):
-            logits = bundle.apply_fn(p, **big_inputs)
-            return bf.elbo.cross_entropy_sum(logits, big_labels) + 0.0 * i
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state), loss
-
-    return timeit_scan(step, (params, opt_state))
 
 
 def bench_matmul_ratio():
@@ -386,17 +665,13 @@ def bench_matmul_ratio():
     return out
 
 
-def _preflight():
+def _preflight(budget_env="BAYEFORMERS_BENCH_PREFLIGHT_S", default="180"):
     """Chip-health probe before any model build. A predecessor process that
     crashed mid-allocation can leave the chip RESOURCE_EXHAUSTED for minutes
-    (observed 2026-08-19: a run started 10 min after an OOM crash failed its
-    very first cache read and every extra stage after it). Retry a tiny
-    allocation for a bounded window so a transient poisoned chip delays the
-    bench instead of zeroing it; when healthy this costs one trivial compile
-    that doubles as tunnel warm-up."""
-    deadline = time.monotonic() + float(
-        os.environ.get("BAYEFORMERS_BENCH_PREFLIGHT_S", "180")
-    )
+    (observed 2026-08-19). Retry a tiny allocation for a bounded window so a
+    transient poisoned chip delays the bench instead of zeroing it; when
+    healthy this costs one trivial compile that doubles as tunnel warm-up."""
+    deadline = time.monotonic() + float(os.environ.get(budget_env, default))
     while True:
         try:
             x = jnp.ones((256, 256), jnp.float32)
@@ -412,75 +687,146 @@ def _preflight():
             time.sleep(20.0)
 
 
+# ---------------------------------------------------------------------------
+# Stage groups (subprocess mode): `python bench.py --stage <group>` prints
+# ONE JSON line with that group's results + its compile-cache telemetry.
+# ---------------------------------------------------------------------------
+
+def _stage_squad():
+    t = run_leg("squad")
+    return {"squad_mc10_b13_l384_step_ms": round(t[0] * 1e3, 2),
+            "squad_mc10_b13_l384_step_ms_median": round(t[1] * 1e3, 2),
+            "squad_export": t[2]}
+
+
+def _stage_gpt2():
+    t = run_leg("gpt2")
+    return {"gpt2_mc10_b8_l128_step_ms": round(t[0] * 1e3, 2),
+            "gpt2_mc10_b8_l128_step_ms_median": round(t[1] * 1e3, 2),
+            "gpt2_export": t[2]}
+
+
+def _stage_serving():
+    rps, t = bench_serving()
+    return {"serving_requests_per_sec": round(rps, 2),
+            "serving_batch8_ms": round(t * 1e3, 2)}
+
+
+def _stage_floor():
+    t = run_leg("frequentist_floor_bf16")
+    peak = float(os.environ.get("BAYEFORMERS_PEAK_TFLOPS", PEAK_TFLOPS))
+    return {"frequentist_floor_bf16_step_ms": round(t[0] * 1e3, 2),
+            "frequentist_floor_bf16_step_ms_median": round(t[1] * 1e3, 2),
+            "frequentist_floor_export": t[2],
+            "mfu_frequentist_floor_pct": round(
+                _train_flops() / (t[0] * peak * 1e12) * 100, 2)}
+
+
+def _stage_micro():
+    micro = bench_matmul_ratio()
+    return {
+        "sampled_vs_dense_matmul_ratio_f32": round(micro["f32"][0], 4),
+        "sampled_vs_dense_matmul_ratio_bf16": round(micro["bf16"][0], 4),
+        "sampled_matmul_ms_f32": round(micro["f32"][1] * 1e3, 3),
+        "dense_matmul_ms_f32": round(micro["f32"][2] * 1e3, 3),
+        "sampled_matmul_ms_bf16": round(micro["bf16"][1] * 1e3, 3),
+        "dense_matmul_ms_bf16": round(micro["bf16"][2] * 1e3, 3),
+    }
+
+
+def _stage_f32():
+    out = {}
+    # heavier leg first, while memory is cleanest
+    tf = run_leg("fused_f32")
+    tn = run_leg("naive_f32")
+    out["fused_f32_step_ms"] = round(tf[0] * 1e3, 2)
+    out["fused_f32_step_ms_median"] = round(tf[1] * 1e3, 2)
+    out["naive_f32_step_ms"] = round(tn[0] * 1e3, 2)
+    out["naive_f32_step_ms_median"] = round(tn[1] * 1e3, 2)
+    out["fused_vs_naive_same_dtype_f32"] = round(tn[0] / tf[0], 4)
+    out["f32_export"] = tf[2] and tn[2]
+    return out
+
+
+def _stage_estimators():
+    out = {}
+    for name in ("flipout_s1_bf16", "local_bf16", "local_s1_bf16"):
+        t = run_leg(name)
+        out[f"{name}_step_ms"] = round(t[0] * 1e3, 2)
+        out[f"{name}_step_ms_median"] = round(t[1] * 1e3, 2)
+    out["estimators_export"] = t[2]
+    return out
+
+
+# group -> (fn, worst-case seconds estimate with warm exports)
+STAGE_GROUPS = {
+    "squad": (_stage_squad, 120),
+    "gpt2": (_stage_gpt2, 120),
+    "serving": (_stage_serving, 180),
+    "floor": (_stage_floor, 80),
+    "micro": (_stage_micro, 150),
+    "f32": (_stage_f32, 150),
+    "estimators": (_stage_estimators, 200),
+}
+
+
+def run_stage_mode(group):
+    _preflight(default="60")
+    fn, _ = STAGE_GROUPS[group]
+    try:
+        out = fn()
+        out["_telemetry"] = telemetry_snapshot()
+        print(json.dumps(out), flush=True)
+    except Exception as e:  # noqa: BLE001 — one line, parent records it
+        print(json.dumps({"_error": f"{type(e).__name__}: {e}",
+                          "_telemetry": telemetry_snapshot()}), flush=True)
+        sys.exit(3)
+
+
+def warm_mode(names=None):
+    """Builder-side: (re)generate export blobs and warm the persistent XLA
+    cache for every leg (`make bench-warm`). Also runs each leg's timing
+    once through the export path, printing per-leg numbers."""
+    names = names or list(PROGRAMS)
+    for name in names:
+        t0 = time.monotonic()
+        export_program(name)
+        t1 = time.monotonic()
+        t = run_leg(name)
+        assert t[2], f"{name}: export path did not engage after export"
+        print(f"warm {name}: export {t1 - t0:.0f}s, timed "
+              f"{time.monotonic() - t1:.0f}s, step {t[0] * 1e3:.2f} ms, "
+              f"telemetry {telemetry_snapshot()}", flush=True)
+        jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# Parent orchestrator
+# ---------------------------------------------------------------------------
+
 def main():
     backend = jax.default_backend()
     _preflight()
-    bundle = bert_lib.build_bert(task="classification", n_labels=2, size="base")
-    batch = bert_lib.synthetic_batch(
-        np.random.default_rng(0), B, L, bundle.config.vocab_size, 2
-    )
-    labels = batch.pop("labels")
-    inputs = batch
-
     results = {}
+    extra_merged = {}
     skipped = []
     stage_s = {}
-
-    def compile_scale() -> float:
-        """Observed-compile-speed multiplier for the extras' worst-case
-        estimates: the nominal numbers assume ~40 s/compile stages; on a
-        slow-tunnel day the required tier's measured cost reveals the true
-        rate (e.g. 560 s for 3 stages -> scale ~3), so a stage whose
-        compile would blow far past its estimate is skipped instead of
-        overrunning the driver timeout."""
-        done = [v for k, v in stage_s.items() if not k.startswith("micro")]
-        if not done:
-            return 1.0
-        return max(1.0, (sum(done) / len(done)) / 60.0)
-
-    def stage(name, worst_case_s, fn, required=False):
-        """Run a bench stage if the remaining budget covers its worst-case
-        cost (compile + runs, scaled by the observed compile speed).
-        Headline stages are `required` and always run; extras record
-        themselves in `skipped` instead of starving the final JSON line
-        the driver parses."""
-        if not required and _budget_left() < worst_case_s * compile_scale():
-            skipped.append(name)
-            return None
-        t0 = time.monotonic()
-        try:
-            out = fn()
-        except Exception as e:  # noqa: BLE001 — any stage failure is survivable
-            # A failing stage must never cost the driver its JSON line
-            # (observed: fused_f32 RESOURCE_EXHAUSTED after the bf16 tier's
-            # executables filled HBM). Extras record the error and continue
-            # after dropping whatever the failure left behind; a required
-            # stage emits the best provisional result assembled so far.
-            if required:
-                _emit_best_and_exit()
-            skipped.append(f"{name}:error:{type(e).__name__}")
-            jax.clear_caches()
-            return None
-        stage_s[name] = round(time.monotonic() - t0, 1)
-        return out
+    stage_tele = {}
 
     def _update_provisional():
-        """Refresh the hard-cap fallback line after each required stage so a
+        """Refresh the hard-cap fallback line after each required leg so a
         capped run still reports every measurement it actually made. When
-        the cap lands before the naive stage, vs_baseline falls back to the
+        the cap lands before the naive leg, vs_baseline falls back to the
         last DRIVER-captured naive (BENCH_r02: 131.77 ms bf16) and says so —
         naive bf16 has measured 131-132 ms in every round, and the fallback
         can only be conservative if the chip got faster."""
         global _PROVISIONAL
-        done = {k: v for k, v in results.items() if v is not None}
-        cands = [
-            v[0] for k, v in done.items()
-            if k in ("antithetic_bf16", "fused_bf16")
-        ]
+        cands = [v[0] for k, v in results.items()
+                 if k in ("antithetic_bf16", "fused_bf16")]
         if not cands:
             return
         t_head = min(cands)
-        naive = [v[0] for k, v in done.items() if k.startswith("naive_")]
+        naive = [v[0] for k, v in results.items() if k.startswith("naive_")]
         if naive:
             t_nv, src = min(naive), "measured this run"
         else:
@@ -495,83 +841,70 @@ def main():
                 "provisional": True,
                 "naive_baseline_source": src,
                 **{f"{k}_step_ms": round(v[0] * 1e3, 2)
-                   for k, v in done.items()},
+                   for k, v in results.items()},
+                **extra_merged,
                 "stage_seconds": dict(stage_s),
                 "bench_elapsed_s": round(time.monotonic() - _T0, 1),
+                "compile_cache": telemetry_snapshot(),
             },
         }
 
-    # --- required tier: exactly the 3 compiles the headline needs -------
-    bmodel16, bparams16 = build(jnp.bfloat16)
-    results["antithetic_bf16"] = stage(
-        "antithetic_bf16", 60,
-        lambda: bench_train(bmodel16, bparams16, inputs, labels, "antithetic"),
-        required=True,
-    )
-    _update_provisional()
-    results["fused_bf16"] = stage(
-        "fused_bf16", 60,
-        lambda: bench_train(bmodel16, bparams16, inputs, labels, "fused"),
-        required=True,
-    )
-    _update_provisional()
-    results["naive_bf16"] = stage(
-        "naive_bf16", 60,
-        lambda: bench_train(bmodel16, bparams16, inputs, labels, "naive"),
-        required=True,
-    )
-    _update_provisional()
+    # --- required tier: the 3 legs the headline needs, in-process ---------
+    for name in ("antithetic_bf16", "fused_bf16", "naive_bf16"):
+        t0 = time.monotonic()
+        try:
+            tmin, tmed, used_export = run_leg(name)
+        except Exception:  # noqa: BLE001
+            _emit_best_and_exit()
+        results[name] = (tmin, tmed)
+        stage_s[name] = round(time.monotonic() - t0, 1)
+        stage_tele[name] = telemetry_snapshot()
+        if not used_export:
+            stage_tele[name]["export_fallback"] = True
+        _update_provisional()
 
-    # --- extras, budget permitting (each marks itself skipped) ----------
-    results["frequentist_floor_bf16"] = stage(
-        "frequentist_floor_bf16", 60,
-        lambda: bench_frequentist_floor(inputs, labels),
-    )
-    micro = stage("micro_matmul_ratio", 120, bench_matmul_ratio)
-    bmodel32 = bparams32 = None
-    if _budget_left() >= 120:  # the f32 pair shares one model build
-        # Drop the bf16 tier's cached executables first: their embedded
-        # constants pin HBM, and the fused f32 leg (S=10 f32 W residuals,
-        # ~4.4 GB live) has OOMed with them resident. Later bf16 extras
-        # (flipout/local) compile fresh programs anyway.
-        jax.clear_caches()
-        bmodel32, bparams32 = build(jnp.float32)
-        # heavier leg first, while memory is cleanest
-        results["fused_f32"] = stage(
-            "fused_f32", 60,
-            lambda: bench_train(bmodel32, bparams32, inputs, labels, "fused"),
-        )
-        results["naive_f32"] = stage(
-            "naive_f32", 60,
-            lambda: bench_train(bmodel32, bparams32, inputs, labels, "naive"),
-        )
-        del bmodel32, bparams32
-        jax.clear_caches()
-    else:
-        skipped.extend(["naive_f32", "fused_f32"])
-    squad = stage("squad", 120, bench_squad_chunked)
-    gpt2 = stage("gpt2", 120, bench_gpt2)
-    serving = stage("serving", 90, bench_serving)
-    results["flipout_s1_bf16"] = stage(
-        "flipout_s1_bf16", 60,
-        lambda: bench_train(
-            bmodel16, bparams16, inputs, labels, "flipout", n_samples=1
-        ),
-    )
-    # local reparameterization (Kingma et al. 2015, nn/lrt.py): activation-
-    # space sampling — S=10 for the like-for-like step cost, S=1 for the
-    # regime the paper targets (LRT variance at S=1 ~ BBB at S>>1)
-    results["local_bf16"] = stage(
-        "local_bf16", 60,
-        lambda: bench_train(bmodel16, bparams16, inputs, labels, "local"),
-    )
-    results["local_s1_bf16"] = stage(
-        "local_s1_bf16", 60,
-        lambda: bench_train(
-            bmodel16, bparams16, inputs, labels, "local", n_samples=1
-        ),
-    )
-    results = {k: v for k, v in results.items() if v is not None}
+    # --- extras: isolated subprocesses, priority-ordered (VERDICT r4 #1:
+    # squad/gpt2/serving first — never driver-captured; then floor/micro;
+    # then the f32 pair and the estimator zoo) --------------------------
+    floor_s = dispatch_floor()
+    order = ["squad", "gpt2", "serving", "floor", "micro", "f32",
+             "estimators"]
+    for group in order:
+        fn, est = STAGE_GROUPS[group]
+        if _budget_left() < est * 0.6:
+            skipped.append(group)
+            continue
+        t0 = time.monotonic()
+        env = dict(os.environ, BAYEFORMERS_FLOOR_S=str(floor_s))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--stage", group],
+                capture_output=True, text=True, env=env, cwd=_REPO,
+                timeout=min(max(est * 2.0, 120.0), _budget_left() + 120.0),
+            )
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")]
+            out = json.loads(line[-1]) if line else {}
+        except subprocess.TimeoutExpired:
+            skipped.append(f"{group}:timeout")
+            stage_s[group] = round(time.monotonic() - t0, 1)
+            continue
+        except Exception as e:  # noqa: BLE001
+            skipped.append(f"{group}:error:{type(e).__name__}")
+            stage_s[group] = round(time.monotonic() - t0, 1)
+            continue
+        stage_s[group] = round(time.monotonic() - t0, 1)
+        if "_error" in out:
+            skipped.append(f"{group}:error:{out['_error'].split(':')[0]}")
+            stage_tele[group] = out.get("_telemetry", {})
+            continue
+        if not out:
+            skipped.append(f"{group}:error:no_output_rc{proc.returncode}")
+            continue
+        stage_tele[group] = out.pop("_telemetry", {})
+        extra_merged.update(out)
+        _update_provisional()
 
     # The framework's default recipe is the antithetic estimator for even S
     # (strictly better: lower variance + half the noise generation); the
@@ -586,29 +919,24 @@ def main():
     # that RAN (bf16 naive measured faster than f32 naive in every round —
     # BENCH_r02 131.77 vs 143.88 ms — so a skipped f32 leg can only make
     # vs_baseline CONSERVATIVE, never inflated)
-    t_naive_best = min(
-        v[0] for k, v in results.items() if k.startswith("naive_")
-    )
+    naive_ms = [results["naive_bf16"][0]]
+    if "naive_f32_step_ms" in extra_merged:
+        naive_ms.append(extra_merged["naive_f32_step_ms"] / 1e3)
+    t_naive_best = min(naive_ms)
 
     peak = float(os.environ.get("BAYEFORMERS_PEAK_TFLOPS", PEAK_TFLOPS))
     extra = {
         "backend": backend,
-        # min / median per mode, milliseconds
-        **{
-            f"{k}_step_ms": round(v[0] * 1e3, 2) for k, v in results.items()
-        },
-        **{
-            f"{k}_step_ms_median": round(v[1] * 1e3, 2)
-            for k, v in results.items()
-        },
+        **{f"{k}_step_ms": round(v[0] * 1e3, 2) for k, v in results.items()},
+        **{f"{k}_step_ms_median": round(v[1] * 1e3, 2)
+           for k, v in results.items()},
+        **extra_merged,
         "naive_best_step_ms": round(t_naive_best * 1e3, 2),
         "fused_vs_naive_same_dtype_bf16": round(
             results["naive_bf16"][0] / results["fused_bf16"][0], 4
         ),
         "dispatch_floor_ms": round(dispatch_floor() * 1e3, 2),
         "headline_estimator": headline_est,
-        # MFU of the headline Bayesian step and of its frequentist floor
-        # (matmul FLOPs only, v5e bf16 peak unless overridden)
         "mfu_headline_pct": round(
             _train_flops() / (t_fused * peak * 1e12) * 100, 2
         ),
@@ -617,49 +945,19 @@ def main():
         "bench_elapsed_s": round(time.monotonic() - _T0, 1),
         "stage_seconds": stage_s,
         "skipped": skipped,
+        "compile_cache": telemetry_snapshot(),
+        "stage_telemetry": stage_tele,
         "config": {"S": S, "B": B, "L": L, "model": "bert-base(random-init)",
-                   "timing": f"lax.scan x{NSCAN} in-jit, min of {N_OUTER}, "
-                             "per-dispatch floor subtracted"},
+                   "timing": f"lax.scan x{NSCAN} in-jit via jax.export "
+                             f"programs, min of {N_OUTER}, per-dispatch "
+                             "floor subtracted, per-call iteration scalar "
+                             "defeats dispatch dedup"},
     }
-    if micro is not None:
-        extra.update({
-            "sampled_vs_dense_matmul_ratio_f32": round(micro["f32"][0], 4),
-            "sampled_vs_dense_matmul_ratio_bf16": round(micro["bf16"][0], 4),
-            "sampled_matmul_ms_f32": round(micro["f32"][1] * 1e3, 3),
-            "dense_matmul_ms_f32": round(micro["f32"][2] * 1e3, 3),
-            "sampled_matmul_ms_bf16": round(micro["bf16"][1] * 1e3, 3),
-            "dense_matmul_ms_bf16": round(micro["bf16"][2] * 1e3, 3),
-        })
-    if "frequentist_floor_bf16" in results:
-        extra["mfu_frequentist_floor_pct"] = round(
-            _train_flops() / (
-                results["frequentist_floor_bf16"][0] * peak * 1e12
-            ) * 100, 2
-        )
-    if "fused_f32" in results and "naive_f32" in results:
-        extra["fused_vs_naive_same_dtype_f32"] = round(
-            results["naive_f32"][0] / results["fused_f32"][0], 4
-        )
-    if "local_bf16" in results:
-        # activation-space estimator vs the reference-style weight-space
-        # tier at the same S and dtype (different estimator class — see
-        # nn/lrt.py; reported alongside, never as the headline)
+    if ("local_bf16_step_ms" in extra_merged):
         extra["local_vs_naive_same_dtype_bf16"] = round(
-            results["naive_bf16"][0] / results["local_bf16"][0], 4
+            results["naive_bf16"][0] * 1e3
+            / extra_merged["local_bf16_step_ms"], 4
         )
-    if squad is not None:
-        # full reference SQuAD recipe, chunked to fit one chip (VERDICT r2 #4)
-        extra["squad_mc10_b13_l384_step_ms"] = round(squad[0] * 1e3, 2)
-        extra["squad_mc10_b13_l384_step_ms_median"] = round(squad[1] * 1e3, 2)
-    if gpt2 is not None:
-        # GPT-2-base causal-LM recipe (decoder-family extension)
-        extra["gpt2_mc10_b8_l128_step_ms"] = round(gpt2[0] * 1e3, 2)
-        extra["gpt2_mc10_b8_l128_step_ms_median"] = round(gpt2[1] * 1e3, 2)
-    if serving is not None:
-        # serving tier: posterior-predictive requests/s at the (8, 128)
-        # bucket, wall-clock per call (includes the per-dispatch floor)
-        extra["serving_requests_per_sec"] = round(serving[0], 2)
-        extra["serving_batch8_ms"] = round(serving[1] * 1e3, 2)
     result = {
         "metric": "bert_base_glue_mc10_elbo_steps_per_sec",
         "value": round(1.0 / t_fused, 4),
@@ -672,8 +970,14 @@ def main():
 
 
 if __name__ == "__main__":
-    # Alarm only when run as the bench proper: importers (mha_microbench,
-    # perf probes) borrow timeit_scan and must not inherit a kill timer.
-    signal.signal(signal.SIGALRM, _emit_best_and_exit)
-    signal.alarm(int(HARD_S))
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        run_stage_mode(sys.argv[2])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--warm":
+        warm_mode(sys.argv[2:] or None)
+    else:
+        # Alarm only in the parent bench proper: importers (mha_microbench,
+        # perf probes) borrow timeit_scan and must not inherit a kill timer;
+        # stage subprocesses are bounded by the parent's timeout instead.
+        signal.signal(signal.SIGALRM, _emit_best_and_exit)
+        signal.alarm(int(HARD_S))
+        main()

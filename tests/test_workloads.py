@@ -353,3 +353,43 @@ def test_llama_lm_unigram_corpus_tiny(tmp_path):
     for k, v in results.items():
         assert np.isfinite(v), (k, v)
     assert abs(results["moped_acc"] - results["freq_acc"]) < 0.1
+
+
+def test_hypersearch_shares_compiles_across_trials(tmp_path):
+    """One-compile hypersearch (VERDICT r4 #4): trials vary only delta
+    (init-only) and weight_decay (injected optimizer state,
+    `training.adamw_with_decay_groups`), so a _shared dict makes every
+    trial after the first reuse the first trial's jitted steps — ZERO new
+    compile requests. The reference re-trains 10 times with the same
+    wasteful-but-cheap torch graphs (`examples/hypersearch.py:42-58`); at
+    BERT-base on the tunneled TPU each avoided recompile is ~2-4 min."""
+    import jax
+
+    from bayeformers_tpu.workloads import bert_glue
+
+    requests = []
+    jax.monitoring.register_event_listener(
+        lambda name, **kw: requests.append(name)
+        if name == "/jax/compilation_cache/compile_requests_use_cache"
+        else None
+    )
+    shared = {}
+    kwargs = dict(
+        exp="hs", model_name="bert", logs=str(tmp_path / "logs"),
+        epochs=1, b_epochs=1, samples=2, batch_size=4, size="tiny",
+        limit_batches=2, seed=0, _shared=shared,
+    )
+    counts = []
+    scores = []
+    for trial, (delta, wd) in enumerate(
+        [(0.05, 1e-4), (0.02, 5e-4), (0.08, 0.0)]
+    ):
+        n0 = len(requests)
+        scores.append(bert_glue.train(delta=delta, weight_decay=wd, **kwargs))
+        counts.append(len(requests) - n0)
+    assert all(np.isfinite(s) for s in scores)
+    # trial 1 compiles everything; trials 2-3 must reuse it all (allow a
+    # couple of stray eager-op compiles the first reuse may still warm)
+    assert counts[0] > 5, counts
+    assert counts[1] <= 2, counts
+    assert counts[2] == 0, counts
