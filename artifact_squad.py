@@ -119,7 +119,7 @@ def write_squad_json(path: str, examples: list[dict]) -> None:
         json.dump(data, fh)
 
 
-def main():
+def main(delta: float = 0.05):
     rng = np.random.default_rng(SEED)
     os.makedirs(ROOT, exist_ok=True)
     train_ex = [gen_example(rng, f"tr{i}") for i in range(768)]
@@ -143,8 +143,9 @@ def main():
 
     from bayeformers_tpu.workloads import bert_squad
 
+    exp = f"squad-artifact-d{delta}"
     f1 = bert_squad.train(
-        exp="squad-artifact",
+        exp=exp,
         data_dir=ROOT,
         tokenizer=os.path.join(ROOT, "vocab.txt"),
         size="tiny",
@@ -155,10 +156,27 @@ def main():
         samples=10,
         batch_size=13,
         lr=5e-4,  # from-scratch tiny model (the reference's 5e-5 is a
-        delta=0.05,  # pretrained-base fine-tune rate)
+        delta=delta,  # pretrained-base fine-tune rate)
         seed=SEED,
     )
     print(f"final f1={f1:.4f}", flush=True)
+
+    # span-level uncertainty columns (VERDICT r4 #5): per-draw EM/F1 std
+    # and modal-answer agreement, per eval phase, from the dumper record
+    results_path = next(
+        os.path.join("logs", f) for f in os.listdir("logs")
+        if f.startswith(exp) and f.endswith(".results.json")
+    )
+    results = json.load(open(results_path))
+    span_cols = {}
+    for phase, rec in results.items():
+        if not isinstance(rec, dict):
+            continue
+        keys = [k for k in rec if "span_agreement" in k
+                or "_of_draws" in k or k == "f1"
+                or k.endswith(("exact_match", "_f1"))]
+        if keys:
+            span_cols[phase] = {k: rec[k] for k in sorted(keys)}
 
     summary = {
         "corpus": {
@@ -169,11 +187,15 @@ def main():
             "max_seq": MAX_SEQ,
             "doc_stride": bert_squad.DOC_STRIDE,
         },
+        "delta": delta,
         "final_f1": float(f1),
+        "span_uncertainty_by_phase": span_cols,
     }
-    with open("logs/squad_artifact_summary.json", "w") as fh:
+    with open(f"logs/squad_artifact_summary_d{delta}.json", "w") as fh:
         json.dump(summary, fh, indent=2)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(float(sys.argv[1]) if len(sys.argv) > 1 else 0.05)

@@ -113,11 +113,22 @@ class Predictor:
                 live = inputs["attention_mask"][None] > 0  # (1, B, L)
                 start = jnp.where(live, start.astype(jnp.float32), neg)
                 end = jnp.where(live, end.astype(jnp.float32), neg)
-                return {
+                res = {
                     f"{tag}_{k}": v
                     for tag, logits in (("start", start), ("end", end))
                     for k, v in summarize(logits).items()
                 }
+                # per-draw span log-probs, row-major (B, S, L): each MC draw
+                # decodes its own answer downstream — span-level epistemic
+                # uncertainty (the reference's acc_std idiom elevated to
+                # answers, `examples/bert_squad.py:481-484`)
+                res["start_logp_draws"] = jnp.transpose(
+                    jax.nn.log_softmax(start, axis=-1), (1, 0, 2)
+                )
+                res["end_logp_draws"] = jnp.transpose(
+                    jax.nn.log_softmax(end, axis=-1), (1, 0, 2)
+                )
+                return res
             if self.task == "causal-lm":
                 # out: (S, B, L, V) next-token logits — predict the token
                 # after each row's last live position, with the predictive
@@ -215,11 +226,15 @@ class Predictor:
         if self.task == "causal-lm":
             result = {k: np.asarray(v)[:n] for k, v in out.items()}
         else:
-            result = {
-                k: (np.asarray(v)[:n, :L] if np.asarray(v).ndim >= 2
-                    else np.asarray(v)[:n])
-                for k, v in out.items()
-            }
+            result = {}
+            for k, v in out.items():
+                v = np.asarray(v)
+                if k.endswith("_logp_draws"):  # (B, S, L): draws not rows
+                    result[k] = v[:n, :, :L]
+                elif v.ndim >= 2:
+                    result[k] = v[:n, :L]
+                else:
+                    result[k] = v[:n]
         if self.task == "qa":
             result["spans"] = self._decode_spans(result, n, features, contexts)
         return result
@@ -307,7 +322,14 @@ class Predictor:
                 if k == "spans":
                     continue
                 rows = [np.asarray(p[k]) for p in parts]
-                if rows[0].ndim >= 2:
+                if k.endswith("_logp_draws"):
+                    # (rows, draws, L): positions are axis 2, and padded
+                    # positions must never win a span decode (log-prob pad)
+                    rows = [
+                        np.pad(r, [(0, 0), (0, 0), (0, widest - r.shape[2])],
+                               constant_values=-1e30) for r in rows
+                    ]
+                elif rows[0].ndim >= 2:
                     rows = [
                         np.pad(r, [(0, 0), (0, widest - r.shape[1])]
                                + [(0, 0)] * (r.ndim - 2)) for r in rows
@@ -324,6 +346,36 @@ class Predictor:
                 sorted(sp, key=lambda d: -d["score"])[: self.n_best]
                 for sp in per_q
             ]
+            # span-level uncertainty (VERDICT r4 #5): each MC draw decodes
+            # its own answer per question (that draw's windows compete),
+            # exposing answer-level posterior disagreement alongside the
+            # n-best of the MC-average
+            n_draws = out["start_logp_draws"].shape[1]
+            best_dq: list[list] = [[None] * n_draws for _ in texts]
+            for fi, f in enumerate(feats):
+                qi = int(f["qid"])
+                for d in range(n_draws):
+                    (s, e), score = squad_lib.best_span(
+                        out["start_logp_draws"][fi, d],
+                        out["end_logp_draws"][fi, d],
+                        f["context_offset"],
+                        max_answer_len=self.max_answer_len,
+                    )
+                    prev = best_dq[qi][d]
+                    if prev is None or score > prev[0]:
+                        best_dq[qi][d] = (
+                            score, squad_lib.decode_span(f, texts[qi][1], s, e)
+                        )
+            out["draw_answers"] = [
+                [t for _, t in per_d] for per_d in best_dq
+            ]
+            agreement = []
+            for answers in out["draw_answers"]:
+                counts: dict[str, int] = {}
+                for a in answers:
+                    counts[a] = counts.get(a, 0) + 1
+                agreement.append(max(counts.values()) / n_draws)
+            out["span_agreement"] = np.asarray(agreement, np.float32)
             return out
 
         from bayeformers_tpu.utils import glue as glue_lib

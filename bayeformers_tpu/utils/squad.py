@@ -70,6 +70,45 @@ def squad_evaluate(
     return {"exact_match": 100.0 * em / n, "f1": 100.0 * f1 / n}
 
 
+def draw_metrics(
+    per_draw_texts: list[dict[str, str]],
+    references: dict[str, list[str]],
+) -> dict[str, float]:
+    """Span-level uncertainty over S MC draws' decoded answers.
+
+    The reference's acc_std idiom (`examples/bert_squad.py:481-484`)
+    elevated from token positions to ANSWERS: ``per_draw_texts[d]`` maps
+    qid -> the answer decoded from draw d alone. Returns the per-draw
+    EM/F1 mean and std across draws, plus ``span_agreement`` — the mean
+    (over questions) fraction of draws producing the question's modal
+    answer (1.0 = the posterior is certain about every span)."""
+    import numpy as np
+
+    ems, f1s = [], []
+    for texts in per_draw_texts:
+        m = squad_evaluate(texts, references)
+        ems.append(m["exact_match"])
+        f1s.append(m["f1"])
+    n_draws = max(len(per_draw_texts), 1)
+    qids = set()
+    for texts in per_draw_texts:
+        qids.update(texts)
+    agreements = []
+    for qid in qids:
+        answers = [texts.get(qid, "") for texts in per_draw_texts]
+        counts: dict[str, int] = {}
+        for a in answers:
+            counts[a] = counts.get(a, 0) + 1
+        agreements.append(max(counts.values()) / n_draws)
+    return {
+        "em_mean_of_draws": float(np.mean(ems)) if ems else 0.0,
+        "em_std_of_draws": float(np.std(ems)) if ems else 0.0,
+        "f1_mean_of_draws": float(np.mean(f1s)) if f1s else 0.0,
+        "f1_std_of_draws": float(np.std(f1s)) if f1s else 0.0,
+        "span_agreement": float(np.mean(agreements)) if agreements else 1.0,
+    }
+
+
 # ---------------------------------------------------------------------------
 # JSON loading
 # ---------------------------------------------------------------------------

@@ -349,6 +349,38 @@ def train(
         }
         return squad_lib.squad_evaluate(texts, refs)
 
+    def decode_and_score_draws(get_draw_logits, n_draws):
+        """Span-level uncertainty (VERDICT r4 #5): the reference's acc_std
+        idiom (`examples/bert_squad.py:481-484`) elevated from token
+        positions to decoded ANSWERS. Each MC draw decodes its own answer
+        per question (windows compete per draw, same rule as the mean
+        path); reported are the per-draw EM/F1 std across the S draws and
+        the answer agreement rate (mean fraction of draws that produce a
+        question's modal answer — 1.0 = the posterior is certain about
+        every span). ``get_draw_logits(batch) -> (s, e)`` with shape
+        ``(n_draws, B, L)`` each."""
+        predictions = [dict() for _ in range(n_draws)]
+        for bi, batch in enumerate(batch_iter(dev_data, batch_size)):
+            s_log, e_log = get_draw_logits(batch)
+            for row in range(s_log.shape[1]):
+                feat = dev_feats[bi * batch_size + row]
+                for d in range(n_draws):
+                    (s, e), score = squad_lib.best_span(
+                        s_log[d, row], e_log[d, row], feat["context_offset"]
+                    )
+                    prev = predictions[d].get(feat["qid"])
+                    if prev is None or score > prev[0]:
+                        predictions[d][feat["qid"]] = (score, s, e, feat)
+        contexts = {ex["qid"]: ex["context"] for ex in dev_examples}
+        refs = {ex["qid"]: [a["text"] for a in ex["answers"]] or [""]
+                for ex in dev_examples}
+        per_draw_texts = [
+            {qid: squad_lib.decode_span(feat, contexts[qid], s, e)
+             for qid, (score, s, e, feat) in predictions[d].items()}
+            for d in range(n_draws)
+        ]
+        return squad_lib.draw_metrics(per_draw_texts, refs)
+
     if dev_examples:
         # phase-level EM/F1 (extension: the reference only scores the final
         # model, `bert_squad.py:357-368`) — makes "MOPED preserves phase-A
@@ -385,18 +417,32 @@ def train(
             metrics = report.means(n)
         elif dev_examples:
             mc = training.pick_mc(bmodel, fused, estimator)
+            draw_cache: dict[int, tuple] = {}
 
-            def mc_mean_logits(batch):
+            def mc_draw_logits(batch, _n=[0]):
                 nonlocal key
                 key, k = jax.random.split(key)
                 (s_log, e_log), _ = mc(
                     bparams, k, samples,
                     **{k2: batch[k2] for k2 in input_keys}
                 )
-                return (np.asarray(jnp.mean(s_log, 0)),
-                        np.asarray(jnp.mean(e_log, 0)))
+                out = (np.asarray(s_log, np.float32),
+                       np.asarray(e_log, np.float32))
+                draw_cache[_n[0]] = out
+                _n[0] += 1
+                return out
 
-            metrics.update(decode_and_score(mc_mean_logits))
+            def cached_mean_logits(batch, _n=[0]):
+                s_log, e_log = draw_cache[_n[0]]
+                _n[0] += 1
+                return s_log.mean(0), e_log.mean(0)
+
+            # one forward sweep: per-draw spans for the uncertainty metrics,
+            # the same draws' mean logits for EM/F1 (the reference decodes
+            # from the SAME S-sample average, `bert_squad.py:481-484,357`)
+            metrics.update(decode_and_score_draws(mc_draw_logits, samples))
+            metrics.update(decode_and_score(cached_mean_logits))
+            draw_cache.clear()
         return metrics
 
     key = jax.random.key(seed + 1)

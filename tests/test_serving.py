@@ -444,3 +444,44 @@ def test_predict_texts_qa_multiwindow(wp_tokenizer):
     out2 = pred.predict_texts([(question, context)],
                               tokenizer=wp_tokenizer, seed=11)
     assert [s["score"] for s in out2["spans"][0]] == scores
+
+
+def test_predict_texts_qa_draw_answers(wp_tokenizer):
+    """Span-level uncertainty (VERDICT r4 #5): every MC draw decodes its
+    own answer per question (windows compete per draw); span_agreement is
+    the modal-answer fraction. Each draw's answer must be a real substring
+    of its question's context, drawn from the per-draw log-probs."""
+    from bayeformers_tpu.models import bert as bert_lib
+
+    bundle = bert_lib.build_bert(task="qa", size="tiny", seed=0)
+    bmodel, bp = bf.to_bayesian(
+        bundle.apply_fn, bundle.params, delta=0.05, freeze=True
+    )
+    S = 4
+    pred = Predictor(bmodel, bp, n_samples=S, batch_sizes=(2,),
+                     seq_lens=(16,), task="qa", max_answer_len=4,
+                     doc_stride=4)
+    texts = [
+        ("what is the capital!", "the quick brown fox jumped over the "
+         "lazy dog. the dog jumped over the fox. the capital is paris."),
+        ("who jumped!", "the dog jumped over the fox."),
+    ]
+    out = pred.predict_texts(texts, tokenizer=wp_tokenizer, seed=3)
+    assert len(out["draw_answers"]) == len(texts)
+    assert out["span_agreement"].shape == (len(texts),)
+    for (q, ctx), answers, agree in zip(
+        texts, out["draw_answers"], out["span_agreement"]
+    ):
+        assert len(answers) == S
+        for a in answers:
+            assert a.lower() in ctx
+        # agreement is the modal fraction of these very answers
+        want = max(answers.count(a) for a in answers) / S
+        assert abs(float(agree) - want) < 1e-6
+    # per-draw logp rows depad/pad like the other per-position arrays
+    assert out["start_logp_draws"].shape[:2] == (
+        out["start_probs"].shape[0], S
+    )
+    # determinism
+    out2 = pred.predict_texts(texts, tokenizer=wp_tokenizer, seed=3)
+    assert out2["draw_answers"] == out["draw_answers"]

@@ -537,3 +537,28 @@ def test_load_lm_corpus_unigram_tokenizer_json(tmp_path):
         tokenizer_json=str(tmp_path / "tokenizer.json"),
     )
     assert tr2.shape[1] == 16
+
+
+def test_squad_draw_metrics():
+    """draw_metrics: per-draw EM/F1 stats + modal-answer agreement
+    (utils/squad.py — the reference acc_std idiom at answer level,
+    `examples/bert_squad.py:481-484`)."""
+    from bayeformers_tpu.utils import squad as squad_lib
+
+    refs = {"a": ["paris"], "b": ["the dog"]}
+    # draw 0 gets both right; draw 1 misses 'a'; draws 2-3 = draw 0
+    per_draw = [
+        {"a": "paris", "b": "the dog"},
+        {"a": "london", "b": "the dog"},
+        {"a": "paris", "b": "the dog"},
+        {"a": "paris", "b": "the dog"},
+    ]
+    m = squad_lib.draw_metrics(per_draw, refs)
+    assert m["em_mean_of_draws"] == pytest.approx(100 * (1 + 0.5 + 1 + 1) / 4)
+    assert m["em_std_of_draws"] > 0.0
+    # q 'a': 3/4 agree; q 'b': 4/4 -> mean 0.875
+    assert m["span_agreement"] == pytest.approx(0.875)
+    # certain posterior: all draws identical
+    m2 = squad_lib.draw_metrics([per_draw[0]] * 4, refs)
+    assert m2["span_agreement"] == 1.0
+    assert m2["em_std_of_draws"] == 0.0

@@ -393,3 +393,44 @@ def test_hypersearch_shares_compiles_across_trials(tmp_path):
     assert counts[0] > 5, counts
     assert counts[1] <= 2, counts
     assert counts[2] == 0, counts
+
+
+@pytest.mark.slow
+def test_bert_squad_span_uncertainty_real_data_path(tmp_path):
+    """The real-data SQuAD eval reports span-level uncertainty (VERDICT r4
+    #5): per-draw EM/F1 stats and span_agreement land in the phase records
+    alongside EM/F1, through the same official-format JSON + vocab +
+    doc-stride path the artifact uses."""
+    import json as json_lib
+    import sys
+
+    sys.path.insert(0, ".")
+    import artifact_squad as art
+
+    from bayeformers_tpu.workloads import bert_squad
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "squad"
+    root.mkdir()
+    art.build_vocab(str(root / "vocab.txt"))
+    art.write_squad_json(str(root / "train-v1.1.json"),
+                         [art.gen_example(rng, f"tr{i}") for i in range(24)])
+    art.write_squad_json(str(root / "dev-v1.1.json"),
+                         [art.gen_example(rng, f"dev{i}") for i in range(8)])
+
+    bert_squad.train(
+        exp="span-unc", data_dir=str(root),
+        tokenizer=str(root / "vocab.txt"), size="tiny", max_seq=64,
+        logs=str(tmp_path / "logs"), epochs=1, b_epochs=1, samples=4,
+        batch_size=4, limit_batches=2, seed=0, delta=0.2,
+    )
+    results = json_lib.load(open(next(
+        (tmp_path / "logs").glob("*.results.json")
+    )))
+    evals = results["bayesian_eval"]
+    for k in ("span_agreement", "em_std_of_draws", "f1_std_of_draws",
+              "em_mean_of_draws", "exact_match", "f1"):
+        assert k in evals, (k, sorted(evals))
+    assert 0.0 < evals["span_agreement"] <= 1.0
+    # a delta=0.2 random-ish tiny model must actually disagree across draws
+    assert evals["span_agreement"] < 1.0 or evals["em_std_of_draws"] > 0.0
