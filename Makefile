@@ -45,4 +45,10 @@ test-tpu:
 bench:
 	python bench.py
 
-.PHONY: squad-bootstrap mnist-bootstrap vocab-bootstrap gpt2-bootstrap native test test-full test-tpu bench
+# (Re)generate the committed jax.export program blobs (bench_exports/) and
+# warm the persistent XLA compile cache for every bench leg — run on the
+# real chip after any change that alters a traced bench program.
+bench-warm:
+	python bench.py --warm
+
+.PHONY: squad-bootstrap mnist-bootstrap vocab-bootstrap gpt2-bootstrap native test test-full test-tpu bench bench-warm

@@ -22,7 +22,11 @@ implementation at the interception layer (nn/fused.py), never here.
 
 The kernel needs no online-softmax tiling: encoder sequences (BERT L<=512)
 fit whole (L, L) score matrices in VMEM, so forward and backward are plain
-per-(example, head) dot/softmax loops over an example-blocked grid.
+dot/softmax loops over an example-blocked grid. The forward phase-batches
+score and AV dots across a HEAD GROUP sized to VMEM (all 12 heads at
+L=128, 6 at L=384) — the stacked-softmax formulation that measured 1.95x
+over per-head chaining — so long sequences shrink the group instead of
+falling back to per-head serialization or KV tiling.
 """
 from __future__ import annotations
 
@@ -112,55 +116,66 @@ def _fwd_kernel(n_heads, causal, q_ref, k_ref, v_ref, bias_ref, o_ref):
         o_ref[b] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
-def _fwd_kernel_stacked(n_heads, causal, q_ref, k_ref, v_ref, bias_ref,
-                        o_ref):
-    """Phase-batched forward: all nb*heads score dots back-to-back on the
-    MXU, ONE softmax chain over a stacked (nb*heads*L, L) f32 buffer, then
-    all AV dots. Same math as ``_fwd_kernel``; measured 1.95x faster at the
-    BERT-base shape (0.184 vs 0.359 ms/layer, probe_mha_stacked.py) — the
-    per-head dot->softmax->dot chains serialize MXU and VPU phases that
-    this formulation (like XLA's head-batched attention) overlaps."""
+def _fwd_kernel_stacked(n_heads, causal, group, q_ref, k_ref, v_ref,
+                        bias_ref, o_ref):
+    """Phase-batched forward: per head GROUP, all nb*group score dots
+    back-to-back on the MXU, one softmax chain over a stacked
+    (nb*group*L, L) f32 buffer, then all the group's AV dots. Same math as
+    ``_fwd_kernel``; measured 1.95x faster at the BERT-base shape (0.184 vs
+    0.359 ms/layer, probe_mha_stacked.py) — the per-head dot->softmax->dot
+    chains serialize MXU and VPU phases that this formulation (like XLA's
+    head-batched attention) overlaps.
+
+    ``group`` (<= n_heads, round-4 kernel = all heads in one group) bounds
+    the stacked buffer to nb*group*L*L floats so LONG sequences keep the
+    phase-batched win: SQuAD's L=384 blew VMEM at group=12 and was riding
+    the per-head kernel (VERDICT r4 #2); group 4-6 fits at nb=1."""
     nb, L, H = q_ref.shape
     d = H // n_heads
     scale = 1.0 / math.sqrt(d)
     prec = config.kernel_dot_precision(q_ref.dtype)
-    # phase 1: every (example, head) score dot, MXU back-to-back
-    tiles = []
-    for b in range(nb):
-        qb = q_ref[b]
-        kb = k_ref[b]
-        for h in range(n_heads):
-            qh = jax.lax.slice(qb, (0, h * d), (L, (h + 1) * d))
-            kh = jax.lax.slice(kb, (0, h * d), (L, (h + 1) * d))
-            tiles.append(jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            ))
-    T = nb * n_heads * L
-    s = jnp.concatenate(tiles, axis=0) * scale  # (T, L) f32, b-major
-    # phase 2: one bias add + one softmax over the stacked buffer; each
-    # example's (L,) bias row repeats over its heads*L stacked score rows
     bias_rows = bias_ref[:, 0, :]  # (nb, L)
-    s = s + jnp.repeat(bias_rows, n_heads * L, axis=0)
-    if causal:
-        # query index within each stacked (L, L) tile is the row mod L
-        rows = jax.lax.broadcasted_iota(jnp.int32, (T, L), 0) % L
-        cols = jax.lax.broadcasted_iota(jnp.int32, (T, L), 1)
-        s = jnp.where(cols <= rows, s, NEG_BIG)
-    p = jax.nn.softmax(s, axis=-1)
-    # phase 3: all AV dots
+    outs = [[] for _ in range(nb)]
+    for h0 in range(0, n_heads, group):
+        g = min(group, n_heads - h0)
+        # phase 1: the group's (example, head) score dots, MXU back-to-back
+        tiles = []
+        for b in range(nb):
+            qb = q_ref[b]
+            kb = k_ref[b]
+            for h in range(h0, h0 + g):
+                qh = jax.lax.slice(qb, (0, h * d), (L, (h + 1) * d))
+                kh = jax.lax.slice(kb, (0, h * d), (L, (h + 1) * d))
+                tiles.append(jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                ))
+        T = nb * g * L
+        s = jnp.concatenate(tiles, axis=0) * scale  # (T, L) f32, b-major
+        # phase 2: one bias add + one softmax over the stacked buffer; each
+        # example's (L,) bias row repeats over its g*L stacked score rows
+        s = s + jnp.repeat(bias_rows, g * L, axis=0)
+        if causal:
+            # query index within each stacked (L, L) tile is the row mod L
+            rows = jax.lax.broadcasted_iota(jnp.int32, (T, L), 0) % L
+            cols = jax.lax.broadcasted_iota(jnp.int32, (T, L), 1)
+            s = jnp.where(cols <= rows, s, NEG_BIG)
+        p = jax.nn.softmax(s, axis=-1)
+        # phase 3: the group's AV dots
+        for b in range(nb):
+            vb = v_ref[b]
+            for j, h in enumerate(range(h0, h0 + g)):
+                i = b * g + j
+                ph = jax.lax.slice(
+                    p, (i * L, 0), ((i + 1) * L, L)
+                ).astype(vb.dtype)
+                outs[b].append(jnp.dot(
+                    ph, jax.lax.slice(vb, (0, h * d), (L, (h + 1) * d)),
+                    preferred_element_type=jnp.float32,
+                    precision=config.kernel_dot_precision(vb.dtype),
+                ))
     for b in range(nb):
-        vb = v_ref[b]
-        outs = []
-        for h in range(n_heads):
-            i = b * n_heads + h
-            ph = jax.lax.slice(p, (i * L, 0), ((i + 1) * L, L)).astype(vb.dtype)
-            outs.append(jnp.dot(
-                ph, jax.lax.slice(vb, (0, h * d), (L, (h + 1) * d)),
-                preferred_element_type=jnp.float32,
-                precision=config.kernel_dot_precision(vb.dtype),
-            ))
-        o_ref[b] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+        o_ref[b] = jnp.concatenate(outs[b], axis=1).astype(o_ref.dtype)
 
 
 def _bwd_kernel(n_heads, causal, q_ref, k_ref, v_ref, bias_ref, g_ref,
@@ -249,27 +264,40 @@ def _pick_nb(L: int, H: int, itemsize: int, n_arrays: int) -> int | None:
     return None
 
 
-def _pick_nb_stacked(L: int, H: int, n_heads: int, itemsize: int) -> int | None:
-    """Example block for the stacked forward, or None when even nb=1 blows
-    VMEM and the per-head forward must run instead. On top of the 4
-    double-buffered (nb, L, H) q/k/v/o arrays, the stacked formulation holds
-    ~2 live (nb*heads*L, L) f32 copies (the concatenated scores die into the
-    biased/masked buffer, which dies into the softmax output). Calibrated to
-    the measured fit points (probe_mha_stacked.py): BERT-base bf16 admits
-    nb=4 (12.6M, ran), nb=8 models to 25.2M (compile failed); SQuAD's L=384
-    models to 18.9M even at nb=1, so QA rides the per-head kernel
-    unchanged."""
+def _pick_nb_stacked(
+    L: int, H: int, n_heads: int, itemsize: int
+) -> tuple[int, int] | None:
+    """(example block, head group) for the stacked forward, or None when no
+    configuration with group >= 2 fits VMEM (the per-head forward runs
+    instead — a group of 1 IS the per-head kernel with worse IO blocking).
+    On top of the 4 double-buffered (nb, L, H) q/k/v/o arrays, the stacked
+    formulation holds ~2 live (nb*group*L, L) f32 copies per group phase
+    (the concatenated scores die into the biased/masked buffer, which dies
+    into the softmax output). Calibrated to the measured fit points
+    (probe_mha_stacked.py): BERT-base bf16 L=128 admits (nb=4, group=12)
+    (12.6M, ran — the round-4 kernel's exact config), nb=8 models to 25.2M
+    (compile failed). SQuAD's L=384 bf16 blows VMEM at group=12 (18.9M at
+    nb=1) but fits (nb=1, group=6) at 11.8M — long sequences keep the
+    phase-batched win via smaller head groups (VERDICT r4 #2).
+
+    Group preference before block preference: the measured 1.95x came from
+    phase batching (MXU dots back-to-back, softmax off the critical path),
+    not from IO blocking, so a bigger group at nb=1 beats a bigger nb at
+    group=1. Groups iterate over divisors of n_heads so phases stay
+    uniform."""
     limit = (
         int(os.environ.get("BAYEFORMERS_VMEM_LIMIT_MB", "0")) * (1 << 20)
         or VMEM_LIMIT
     )
-    nb = NB
-    while nb >= 1:
-        arrays = 4 * nb * L * H * itemsize * 2
-        stacked = 2 * nb * n_heads * L * L * 4
-        if arrays + stacked <= limit:
-            return nb
-        nb //= 2
+    groups = [g for g in range(n_heads, 1, -1) if n_heads % g == 0]
+    for g in groups:
+        nb = NB
+        while nb >= 1:
+            arrays = 4 * nb * L * H * itemsize * 2
+            stacked = 2 * nb * g * L * L * 4
+            if arrays + stacked <= limit:
+                return nb, g
+            nb //= 2
     return None
 
 
@@ -294,9 +322,11 @@ def _mha_pallas_fwd(q, k, v, bias, n_heads: int, causal: bool = False):
     N, L, H = q.shape
     nb_stacked = _pick_nb_stacked(L, H, n_heads, q.dtype.itemsize)
     if nb_stacked is not None:
-        kern, nb = _fwd_kernel_stacked, nb_stacked
+        nb, group = nb_stacked
+        kern = functools.partial(_fwd_kernel_stacked, n_heads, causal, group)
     else:
-        kern, nb = _fwd_kernel, _pick_nb(L, H, q.dtype.itemsize, 5)
+        nb = _pick_nb(L, H, q.dtype.itemsize, 5)
+        kern = functools.partial(_fwd_kernel, n_heads, causal)
     Np = -(-N // nb) * nb
     qp, kp, vp = _pad_n(q, Np), _pad_n(k, Np), _pad_n(v, Np)
     # padded examples keep bias 0 -> uniform softmax, finite garbage rows
@@ -308,7 +338,7 @@ def _mha_pallas_fwd(q, k, v, bias, n_heads: int, causal: bool = False):
     bspec = pl.BlockSpec((nb, 1, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(kern, n_heads, causal),
+        kern,
         grid=(Np // nb,),
         in_specs=[spec, spec, spec, bspec],
         out_specs=spec,

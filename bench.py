@@ -764,7 +764,7 @@ STAGE_GROUPS = {
     "gpt2": (_stage_gpt2, 120),
     "serving": (_stage_serving, 180),
     "floor": (_stage_floor, 80),
-    "micro": (_stage_micro, 150),
+    "micro": (_stage_micro, 210),
     "f32": (_stage_f32, 150),
     "estimators": (_stage_estimators, 200),
 }
