@@ -61,4 +61,14 @@ bench-seed:
 		cp .jax_cache/*-cache bench_exports/cache_seed/
 	du -sh bench_exports/cache_seed
 
-.PHONY: squad-bootstrap mnist-bootstrap vocab-bootstrap gpt2-bootstrap native test test-full test-tpu bench bench-warm bench-seed
+# Snapshot the CPU-gate compile cache into the COMMITTED seed directory so
+# a fresh-from-git `make test` starts part-warm (restored by conftest.py).
+# Run after a green full gate on the current tree.
+test-seed:
+	rm -rf tests/cache_seed
+	mkdir -p tests/cache_seed
+	cp -l .jax_cache_cpu/*-cache tests/cache_seed/ 2>/dev/null || \
+		cp .jax_cache_cpu/*-cache tests/cache_seed/
+	du -sh tests/cache_seed
+
+.PHONY: squad-bootstrap mnist-bootstrap vocab-bootstrap gpt2-bootstrap native test test-full test-tpu bench bench-warm bench-seed test-seed
