@@ -54,11 +54,16 @@ bench-warm:
 # Snapshot the current .jax_cache into the COMMITTED seed directory so the
 # driver's fresh-from-git bench run compiles warm (bench.py restores the
 # seed by hardlink at startup). Run after bench-warm / a full bench pass.
+# The micro stage's scanned-op programs (jit_run-*) are excluded: ~380 MB
+# of entries that save only ~81 s of backend compile — micro runs last and
+# compiles comfortably inside its stage timeout when cold.
 bench-seed:
 	rm -rf bench_exports/cache_seed
 	mkdir -p bench_exports/cache_seed
-	cp -l .jax_cache/*-cache bench_exports/cache_seed/ 2>/dev/null || \
-		cp .jax_cache/*-cache bench_exports/cache_seed/
+	cd .jax_cache && for f in *-cache; do \
+		case $$f in jit_run-*) ;; *) \
+			ln $$f ../bench_exports/cache_seed/$$f 2>/dev/null || \
+			cp $$f ../bench_exports/cache_seed/$$f ;; esac; done
 	du -sh bench_exports/cache_seed
 
 # Snapshot the CPU-gate compile cache into the COMMITTED seed directory so
