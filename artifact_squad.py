@@ -76,7 +76,19 @@ def build_vocab(path: str) -> None:
         fh.write("\n".join(vocab))
 
 
-def gen_example(rng: np.random.Generator, qid: str) -> dict:
+def gen_example(rng: np.random.Generator, qid: str,
+                ambiguous: bool = False) -> dict:
+    """One QA example; ``ambiguous=True`` plants a SECOND, CONFLICTING fact
+    sentence ("the {key} is {other_value}") at another random position.
+
+    Both values are listed as gold answers (`squad_evaluate` scores the max
+    over references, exactly like real SQuAD's multi-annotator answers), so
+    EM/F1 are preserved whichever fact a model points at — but a posterior
+    that is honestly uncertain between two near-tied candidate spans will
+    SPLIT its MC draws across them, which is precisely what the span-level
+    uncertainty columns (VERDICT r4 #5) exist to detect. The clean-corpus
+    runs double as the control: span_agreement 1.0 at delta up to 1.0
+    (trained-to-ceiling margins never flip under MOPED jitter alone)."""
     key = KEYS[rng.integers(len(KEYS))]
     value = VALUES[key][rng.integers(len(VALUES[key]))]
     n_filler = int(rng.integers(96, 237))  # +4 fact words -> 100..240 tokens
@@ -84,16 +96,34 @@ def gen_example(rng: np.random.Generator, qid: str) -> dict:
     pos = int(rng.integers(0, n_filler + 1))
     words[pos:pos] = ["the", key, "is", value]
     i_value = pos + 3
-    answer_start = sum(len(w) + 1 for w in words[:i_value])
+    answers = [{"value": value, "i_value": i_value}]
+    if ambiguous:
+        others = [v for v in VALUES[key] if v != value]
+        value2 = others[rng.integers(len(others))]
+        pos2 = int(rng.integers(0, len(words) + 1))
+        words[pos2:pos2] = ["the", key, "is", value2]
+        i_value2 = pos2 + 3
+        if pos2 <= i_value:
+            answers[0]["i_value"] += 4
+        answers.append({"value": value2, "i_value": i_value2})
     context = " ".join(words)
-    assert context[answer_start:answer_start + len(value)] == value
+
+    def start_of(i_tok):
+        return sum(len(w) + 1 for w in words[:i_tok])
+
+    gold = []
+    for a in answers:
+        s = start_of(a["i_value"])
+        assert context[s:s + len(a["value"])] == a["value"]
+        gold.append({"text": a["value"], "answer_start": s})
     return {
         "qid": qid,
         "question": f"what is the {key}",
         "context": context,
-        "answers": [{"text": value, "answer_start": answer_start}],
+        "answers": gold,
         "n_tokens": len(words),
-        "answer_token": i_value,
+        "answer_token": answers[0]["i_value"],
+        "ambiguous": ambiguous,
     }
 
 
@@ -119,11 +149,16 @@ def write_squad_json(path: str, examples: list[dict]) -> None:
         json.dump(data, fh)
 
 
-def main(delta: float = 0.05):
+def main(delta: float = 0.05, ambiguous_frac: float = 0.0):
     rng = np.random.default_rng(SEED)
     os.makedirs(ROOT, exist_ok=True)
     train_ex = [gen_example(rng, f"tr{i}") for i in range(768)]
-    dev_ex = [gen_example(rng, f"dev{i}") for i in range(117)]
+    stride = round(1 / ambiguous_frac) if ambiguous_frac > 0 else 0
+    dev_ex = [
+        gen_example(rng, f"dev{i}", ambiguous=bool(stride) and i % stride == 0)
+        for i in range(117)
+    ]
+    n_amb = sum(ex["ambiguous"] for ex in dev_ex)
     # corpus shape stats (the multi-window claim, checked not assumed):
     # window 1 holds ~153 context tokens at max_seq=160
     window1 = MAX_SEQ - 6 - 1
@@ -143,7 +178,7 @@ def main(delta: float = 0.05):
 
     from bayeformers_tpu.workloads import bert_squad
 
-    exp = f"squad-artifact-d{delta}"
+    exp = f"squad-artifact-d{delta}" + (f"-amb{n_amb}" if n_amb else "")
     f1 = bert_squad.train(
         exp=exp,
         data_dir=ROOT,
@@ -184,6 +219,7 @@ def main(delta: float = 0.05):
             "dev_questions": len(dev_ex),
             "dev_multi_window": int(n_multi),
             "dev_answer_in_window2": int(n_w2_answer),
+            "dev_ambiguous_two_conflicting_facts": int(n_amb),
             "max_seq": MAX_SEQ,
             "doc_stride": bert_squad.DOC_STRIDE,
         },
@@ -191,11 +227,13 @@ def main(delta: float = 0.05):
         "final_f1": float(f1),
         "span_uncertainty_by_phase": span_cols,
     }
-    with open(f"logs/squad_artifact_summary_d{delta}.json", "w") as fh:
+    tag = f"_amb{n_amb}" if n_amb else ""
+    with open(f"logs/squad_artifact_summary_d{delta}{tag}.json", "w") as fh:
         json.dump(summary, fh, indent=2)
 
 
 if __name__ == "__main__":
     import sys
 
-    main(float(sys.argv[1]) if len(sys.argv) > 1 else 0.05)
+    main(float(sys.argv[1]) if len(sys.argv) > 1 else 0.05,
+         float(sys.argv[2]) if len(sys.argv) > 2 else 0.0)
